@@ -1,0 +1,76 @@
+"""Camera model tests: project∘unproject identity, Jacobians vs autodiff
+(reference: GeometricCamera.h:44-78, Pinhole.cpp, KannalaBrandt8.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_detailed_comments_kor_tpu.models import camera
+
+KEY = jax.random.PRNGKey(1)
+PINHOLE = jnp.array([458.654, 457.296, 367.215, 248.375])
+KB8 = jnp.array([190.978, 190.973, 254.932, 256.897, 0.00348, 0.000715, -0.00205, 0.000581])
+
+
+def rand_points(key, n=128):
+    x = jax.random.uniform(key, (n, 3), minval=-1.0, maxval=1.0)
+    return x.at[:, 2].set(jnp.abs(x[:, 2]) * 4 + 0.5)
+
+
+class TestPinhole:
+    def test_project_unproject(self):
+        xyz = rand_points(KEY)
+        uv = camera.pinhole_project(PINHOLE, xyz)
+        ray = camera.pinhole_unproject(PINHOLE, uv)
+        # ray is unit-depth: scale by true z recovers the point
+        np.testing.assert_allclose(
+            np.asarray(ray * xyz[:, 2:3]), np.asarray(xyz), rtol=1e-4, atol=1e-4
+        )
+
+    def test_jacobian_matches_autodiff(self):
+        xyz = rand_points(KEY, 16)
+        J = camera.pinhole_project_jac(PINHOLE, xyz)
+        Jad = jax.vmap(jax.jacfwd(lambda p: camera.pinhole_project(PINHOLE, p)))(xyz)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(Jad), rtol=1e-4, atol=1e-4)
+
+    def test_distort_undistort(self):
+        dist = (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05)
+        xn = jax.random.uniform(KEY, (64, 2), minval=-0.5, maxval=0.5)
+        xd = camera.distort_radtan(dist, xn)
+        xn2 = camera.undistort_radtan(dist, xd)
+        np.testing.assert_allclose(np.asarray(xn), np.asarray(xn2), atol=1e-5)
+
+
+class TestKB8:
+    def test_project_unproject(self):
+        xyz = rand_points(KEY)
+        uv = camera.kb8_project(KB8, xyz)
+        ray = camera.kb8_unproject(KB8, uv)
+        np.testing.assert_allclose(
+            np.asarray(ray * xyz[:, 2:3]), np.asarray(xyz), rtol=1e-3, atol=1e-3
+        )
+
+    def test_wide_angle(self):
+        # fisheye handles >90° off-axis points
+        xyz = jnp.array([[3.0, 0.0, 1.0], [0.0, -2.5, 0.8]])
+        uv = camera.kb8_project(KB8, xyz)
+        ray = camera.kb8_unproject(KB8, uv)
+        dir1 = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+        dir2 = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(dir1), np.asarray(dir2), atol=1e-4)
+
+    def test_principal_point(self):
+        xyz = jnp.array([[0.0, 0.0, 2.0]])
+        uv = camera.kb8_project(KB8, xyz)
+        np.testing.assert_allclose(np.asarray(uv[0]), [254.932, 256.897], atol=1e-4)
+
+    def test_jacobian_shape(self):
+        xyz = rand_points(KEY, 8)
+        J = camera.kb8_project_jac(KB8, xyz)
+        assert J.shape == (8, 2, 3)
+
+    def test_jit(self):
+        xyz = rand_points(KEY, 8)
+        f = jax.jit(lambda p: camera.kb8_unproject(KB8, camera.kb8_project(KB8, p)))
+        r = f(xyz)
+        assert r.shape == (8, 3)
