@@ -1,0 +1,167 @@
+"""Synthetic textured-world renderer with exact ground truth.
+
+The reference has no automated tests (SURVEY.md §4); its verification is
+dataset-driven.  Since CI cannot download EuRoC, we render controllable
+synthetic sequences: a textured plane (or box corridor) ray-cast through the
+camera model, giving images with dense FAST-able texture plus exact
+poses/depths — the north-star for unit and integration tests, and the input
+for `bench.py`.
+
+Rendering is plain JAX (runs on TPU too): pixel → ray (camera model
+unproject) → plane intersection → procedural texture lookup.  The texture is
+a random lattice sampled with a blocky layer (strong corners for FAST) plus
+a bilinear layer (smooth gradients for SAD subpixel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_detailed_comments_kor_tpu.models import camera as cam
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+_LATTICE_N = 1024
+
+
+def _texture_lattice(seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.rand(_LATTICE_N, _LATTICE_N).astype(np.float32)
+
+
+_LAT = jnp.asarray(_texture_lattice())
+
+
+def _tex_nearest(x, y):
+    xi = jnp.mod(jnp.floor(x).astype(jnp.int32), _LATTICE_N)
+    yi = jnp.mod(jnp.floor(y).astype(jnp.int32), _LATTICE_N)
+    return _LAT[yi, xi]
+
+
+def _tex_bilinear(x, y):
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    xi = jnp.mod(x0.astype(jnp.int32), _LATTICE_N)
+    yi = jnp.mod(y0.astype(jnp.int32), _LATTICE_N)
+    xi1 = jnp.mod(xi + 1, _LATTICE_N)
+    yi1 = jnp.mod(yi + 1, _LATTICE_N)
+    v00 = _LAT[yi, xi]
+    v01 = _LAT[yi, xi1]
+    v10 = _LAT[yi1, xi]
+    v11 = _LAT[yi1, xi1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def texture(x, y, scale: float = 4.0):
+    """Procedural texture over world metres -> intensity [0,255]."""
+    blocky = _tex_nearest(x * scale, y * scale)
+    fine = _tex_bilinear(x * scale * 7.3 + 11.0, y * scale * 7.3 + 5.0)
+    coarse = _tex_bilinear(x * scale * 0.37, y * scale * 0.37)
+    v = 0.55 * blocky + 0.25 * fine + 0.20 * coarse
+    return v * 255.0
+
+
+class PlaneScene(NamedTuple):
+    """A wall: plane n·x = d in world coords (n unit, pointing to camera)."""
+
+    normal: jnp.ndarray  # [3]
+    d: float             # plane offset: points satisfy normal·x = d
+
+
+def default_scene() -> PlaneScene:
+    """Wall at z = 5 m in world frame, camera looking +z."""
+    return PlaneScene(normal=jnp.array([0.0, 0.0, 1.0]), d=5.0)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "model"))
+def render(
+    params: jnp.ndarray,
+    R_wc: jnp.ndarray,
+    t_wc: jnp.ndarray,
+    scene: PlaneScene,
+    h: int = 480,
+    w: int = 752,
+    model: str = "pinhole",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render image + depth map for camera-to-world pose (R_wc, t_wc).
+
+    Returns (img [h,w] float32 0..255, depth [h,w] float32 along camera z).
+    """
+    _, unproject, _ = cam.make_camera(model)
+    vv, uu = jnp.mgrid[0:h, 0:w]
+    uv = jnp.stack([uu + 0.5, vv + 0.5], axis=-1).astype(jnp.float32)
+    rays_c = unproject(params, uv.reshape(-1, 2))  # [hw,3] z=1
+    rays_w = rays_c @ R_wc.T  # rotate to world
+    # intersect n·(t + s·ray) = d  →  s = (d − n·t) / (n·ray)
+    n_dot_ray = rays_w @ scene.normal
+    s = (scene.d - t_wc @ scene.normal) / jnp.where(
+        jnp.abs(n_dot_ray) < 1e-6, 1e-6, n_dot_ray
+    )
+    pts_w = t_wc[None, :] + s[:, None] * rays_w
+    img = texture(pts_w[:, 0], pts_w[:, 1]).reshape(h, w)
+    depth = (s * rays_c[:, 2]).reshape(h, w)  # rays have z=1 → depth = s
+    behind = (s <= 0).reshape(h, w)
+    img = jnp.where(behind, 0.0, img)
+    depth = jnp.where(behind, -1.0, depth)
+    return img, depth
+
+
+def make_trajectory(
+    n_frames: int,
+    motion: str = "strafe",
+    speed: float = 0.04,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Ground-truth camera-to-world poses (R_wc [T,3,3], t_wc [T,3]).
+
+    'strafe': translate along +x facing the wall.
+    'arc'   : translate + slow yaw, exercising rotation.
+    'orbit' : loop trajectory (for loop-closing tests).
+    """
+    Rs, ts = [], []
+    for i in range(n_frames):
+        if motion == "strafe":
+            R = np.eye(3)
+            t = np.array([i * speed, 0.02 * np.sin(i * 0.2), 0.0])
+        elif motion == "arc":
+            yaw = 0.003 * i
+            R = np.asarray(lie.so3_exp(jnp.array([0.0, yaw, 0.0])))
+            t = np.array([i * speed, 0.0, 0.005 * i])
+        elif motion == "orbit":
+            th = 2 * np.pi * i / n_frames
+            r0 = 1.0
+            R = np.asarray(lie.so3_exp(jnp.array([0.0, 0.15 * np.sin(th), 0.0])))
+            t = np.array([r0 * np.sin(th), 0.0, r0 * (1 - np.cos(th)) * 0.3])
+        else:
+            raise ValueError(motion)
+        Rs.append(R)
+        ts.append(t)
+    return np.stack(Rs).astype(np.float32), np.stack(ts).astype(np.float32)
+
+
+def stereo_pair(
+    params: jnp.ndarray,
+    R_wc: jnp.ndarray,
+    t_wc: jnp.ndarray,
+    baseline: float,
+    scene: PlaneScene,
+    h: int = 480,
+    w: int = 752,
+    model: str = "pinhole",
+):
+    """Render a rectified stereo pair; right camera offset +baseline along
+    the camera x-axis. Returns (imgL, imgR, depthL)."""
+    imgL, depthL = render(params, R_wc, t_wc, scene, h, w, model)
+    t_right = t_wc + R_wc @ jnp.array([baseline, 0.0, 0.0])
+    imgR, _ = render(params, R_wc, t_right, scene, h, w, model)
+    return imgL, imgR, depthL

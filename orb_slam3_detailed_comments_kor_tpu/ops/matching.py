@@ -1,0 +1,171 @@
+"""Hamming-space data association as MXU matmuls.
+
+TPU-native counterpart of ``ORBmatcher`` (reference ``src/ORBmatcher.cc``):
+all SearchBy* families reduce to one primitive — a dense candidate mask ×
+Hamming-distance matrix, then masked argmin with best/second-best and
+rotation-consistency gating.  The Hamming matrix itself is the popcount
+identity  ham(a,b) = |a| + |b| − 2·a·b  on {0,1} descriptors, i.e. one
+[N,256]×[256,M] matmul that runs on the MXU — this replaces the reference's
+scalar popcount loop (``ORBmatcher.cc:2591``).
+
+Thresholds mirror the reference: TH_LOW=50, TH_HIGH=100 (of 256 bits),
+ratio test ~0.9/0.75, 30-bin rotation histogram with top-3 bins kept
+(``ORBmatcher.cc:36-38``, ``ComputeThreeMaxima`` ``ORBmatcher.h:107``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_BINS = 30
+BIG = jnp.float32(1e9)
+
+
+def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """[N,256]x[M,256] {0,1} -> [N,M] float32 Hamming distances (exact)."""
+    a = desc_a.astype(jnp.float32)
+    b = desc_b.astype(jnp.float32)
+    common = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    na = jnp.sum(a, axis=1, keepdims=True)
+    nb = jnp.sum(b, axis=1, keepdims=True)
+    return na + nb.T - 2.0 * common
+
+
+class MatchResult(NamedTuple):
+    idx: jnp.ndarray    # [N] int32 best match in B for each A (or -1)
+    dist: jnp.ndarray   # [N] float32 best distance (BIG where invalid)
+    valid: jnp.ndarray  # [N] bool
+
+
+def masked_best2(dist: jnp.ndarray, mask: jnp.ndarray):
+    """Per-row best and second-best over masked columns.
+
+    dist [N,M], mask [N,M] bool -> (best_idx [N], best [N], second [N]).
+    """
+    d = jnp.where(mask, dist, BIG)
+    best_idx = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(BIG)
+    second = jnp.min(d2, axis=1)
+    return best_idx.astype(jnp.int32), best, second
+
+
+def rotation_consistency_mask(
+    angle_a: jnp.ndarray, angle_b: jnp.ndarray, idx: jnp.ndarray,
+    valid: jnp.ndarray, n_keep: int = 3,
+) -> jnp.ndarray:
+    """Keep only matches whose angle difference falls in the top-n_keep of a
+    30-bin histogram (reference ComputeThreeMaxima semantics, including the
+    10%/5% drop rule approximated by the fixed top-3).
+
+    angle_a [N] rad; angle_b [M] rad; idx [N] match into B; valid [N].
+    Returns refined valid mask [N].
+    """
+    diff = angle_a - angle_b[idx]
+    frac = (diff / (2 * jnp.pi)) % 1.0
+    bins = jnp.clip((frac * HISTO_BINS).astype(jnp.int32), 0, HISTO_BINS - 1)
+    hist = jnp.zeros((HISTO_BINS,), jnp.int32).at[bins].add(
+        valid.astype(jnp.int32)
+    )
+    top = jax.lax.top_k(hist, n_keep)[0]
+    thresh = top[n_keep - 1]
+    # reference drops bins below 0.1x of max even inside top-3
+    thresh = jnp.maximum(thresh, (top[0] / 10).astype(hist.dtype))
+    keep_bins = hist >= jnp.maximum(thresh, 1)
+    return valid & keep_bins[bins]
+
+
+def match_nn_ratio(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    max_dist: float = TH_LOW,
+    ratio: float = 0.9,
+    mask: Optional[jnp.ndarray] = None,
+    mutual: bool = True,
+) -> MatchResult:
+    """Nearest-neighbour matching with distance + Lowe-ratio gates and
+    optional mutual-consistency (SearchByBoW-style brute force; the BoW node
+    constraint of the reference is an optional `mask`)."""
+    dist = hamming_matrix(desc_a, desc_b)
+    m = valid_a[:, None] & valid_b[None, :]
+    if mask is not None:
+        m = m & mask
+    best_idx, best, second = masked_best2(dist, m)
+    ok = (best <= max_dist) & (best <= ratio * second)
+    if mutual:
+        d_t = jnp.where(m, dist, BIG)
+        best_back = jnp.argmin(d_t, axis=0)  # [M] best A for each B
+        ok = ok & (best_back[best_idx] == jnp.arange(desc_a.shape[0]))
+    ok = ok & valid_a
+    return MatchResult(
+        idx=jnp.where(ok, best_idx, -1), dist=jnp.where(ok, best, BIG), valid=ok
+    )
+
+
+def search_by_projection(
+    proj_uv: jnp.ndarray,
+    proj_level: jnp.ndarray,
+    proj_desc: jnp.ndarray,
+    proj_valid: jnp.ndarray,
+    feat_xy: jnp.ndarray,
+    feat_level: jnp.ndarray,
+    feat_desc: jnp.ndarray,
+    feat_valid: jnp.ndarray,
+    radius: float,
+    scale: float = 1.2,
+    max_dist: float = TH_HIGH,
+    ratio: float = 0.9,
+    level_slack: int = 1,
+) -> MatchResult:
+    """Project map points and associate to frame features inside a radius
+    window scaled by the predicted octave (reference
+    ``ORBmatcher::SearchByProjection``, ``ORBmatcher.cc:44``).
+
+    proj_uv [L,2] predicted pixels; proj_level [L] predicted octave;
+    proj_desc [L,256]; feat_* are frame features [N,...].
+    Returns per-map-point MatchResult into the frame features.
+    """
+    sigma = scale ** proj_level.astype(jnp.float32)  # [L]
+    r = radius * sigma  # [L]
+    d2 = jnp.sum(
+        (proj_uv[:, None, :] - feat_xy[None, :, :]) ** 2, axis=-1
+    )  # [L,N]
+    in_window = d2 <= (r[:, None] ** 2)
+    lvl_ok = (
+        jnp.abs(feat_level[None, :] - proj_level[:, None]) <= level_slack
+    )
+    m = in_window & lvl_ok & proj_valid[:, None] & feat_valid[None, :]
+    dist = hamming_matrix(proj_desc, feat_desc)
+    best_idx, best, second = masked_best2(dist, m)
+    ok = (best <= max_dist) & (best <= ratio * second) & proj_valid
+    return MatchResult(
+        idx=jnp.where(ok, best_idx, -1), dist=jnp.where(ok, best, BIG), valid=ok
+    )
+
+
+def resolve_duplicate_targets(res: MatchResult, n_targets: int) -> MatchResult:
+    """Ensure each target feature is claimed by at most one source (keep the
+    closest) — the reference enforces this via bestDist bookkeeping."""
+    # scatter-min distance per target
+    tgt = jnp.where(res.valid, res.idx, n_targets)  # park invalid at sentinel
+    best_per_tgt = jnp.full((n_targets + 1,), BIG).at[tgt].min(res.dist)
+    keep = res.valid & (res.dist <= best_per_tgt[tgt])
+    # tie-break: if two sources share the same distance, keep lowest index
+    first_src = jnp.full((n_targets + 1,), res.idx.shape[0]).at[tgt].min(
+        jnp.where(keep, jnp.arange(res.idx.shape[0]), res.idx.shape[0])
+    )
+    keep = keep & (first_src[tgt] == jnp.arange(res.idx.shape[0]))
+    return MatchResult(
+        idx=jnp.where(keep, res.idx, -1),
+        dist=jnp.where(keep, res.dist, BIG),
+        valid=keep,
+    )

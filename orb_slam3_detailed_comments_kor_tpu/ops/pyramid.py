@@ -1,0 +1,67 @@
+"""Image pyramid + separable Gaussian blur.
+
+TPU-native counterpart of ``ORBextractor::ComputePyramid``
+(reference ``src/ORBextractor.cc:1152``) and the pre-descriptor
+``GaussianBlur(7,7,2,2)`` (``ORBextractor.cc:1110``).  The pyramid is a
+fixed 8-element pytree of float32 images (one shape per level — static under
+jit); resampling is bilinear, matching cv::resize(INTER_LINEAR) semantics
+closely enough for feature work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def level_shapes(h: int, w: int, n_levels: int, scale: float) -> List[Tuple[int, int]]:
+    """Static per-level (H, W). Matches cv::round(h / scale^l)."""
+    out = []
+    for l in range(n_levels):
+        inv = 1.0 / (scale ** l)
+        out.append((int(round(h * inv)), int(round(w * inv))))
+    return out
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float) -> List[jnp.ndarray]:
+    """img [H,W] float32 -> list of n_levels images, level l scaled by scale^-l.
+
+    Each level is resized from the previous one (as the reference does), not
+    from level 0, so the effective low-pass accumulates similarly.
+    """
+    h, w = img.shape
+    shapes = level_shapes(h, w, n_levels, scale)
+    levels = [img]
+    for l in range(1, n_levels):
+        prev = levels[-1]
+        levels.append(
+            jax.image.resize(prev, shapes[l], method="linear", antialias=True)
+        )
+    return levels
+
+
+def _gauss_kernel(ksize: int, sigma: float) -> jnp.ndarray:
+    r = (ksize - 1) / 2
+    x = jnp.arange(ksize, dtype=jnp.float32) - r
+    k = jnp.exp(-(x * x) / (2 * sigma * sigma))
+    return k / k.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian blur with reflect padding, [H,W] -> [H,W]."""
+    k = _gauss_kernel(ksize, sigma)
+    r = ksize // 2
+    p = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    # vertical pass: conv along axis 0
+    v = jnp.zeros_like(img)
+    for i in range(ksize):
+        v = v + k[i] * jax.lax.dynamic_slice_in_dim(p, i, img.shape[0], axis=0)
+    p = jnp.pad(v, ((0, 0), (r, r)), mode="reflect")
+    h = jnp.zeros_like(img)
+    for i in range(ksize):
+        h = h + k[i] * jax.lax.dynamic_slice_in_dim(p, i, img.shape[1], axis=1)
+    return h
