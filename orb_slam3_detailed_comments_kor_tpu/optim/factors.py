@@ -1,0 +1,123 @@
+"""Reprojection factors: residuals + analytic Jacobians, batched.
+
+TPU-native counterpart of the reference's g2o edge types
+(``EdgeSE3ProjectXYZ`` / ``EdgeStereoSE3ProjectXYZ`` in
+``include/OptimizableTypes.h:31-145`` and their ``linearizeOplus``): one
+vectorized evaluation over a flat observation table instead of a graph of
+edge objects.
+
+Conventions:
+- Poses are world-to-camera (R_cw, t_cw); update is left-multiplicative
+  T_cw ← exp(ξ)·T_cw with ξ = (ρ, φ) (g2o SE3Quat::exp convention).
+- Residual r = observed − predicted; Jacobians are ∂r/∂x (note the minus).
+- Stereo observations carry u_right; residual row 2 is u_r − (u − bf/z)
+  (reference EdgeStereo, ``G2oTypes.h:417-491``). Mono rows mask row 2.
+- Whitening by √(inv_sigma2) (per-level σ² = scale^{2·level}) is applied by
+  the solver, not here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+# chi2 gates at 95% for 2/3 DoF (reference Optimizer.cc:905-908)
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+class Observations(NamedTuple):
+    """Flat observation table (the device-side 'edge list')."""
+
+    kf: jnp.ndarray          # [O] int32 keyframe index
+    lm: jnp.ndarray          # [O] int32 landmark index
+    uv: jnp.ndarray          # [O,2] float32 observed pixel (left cam)
+    u_right: jnp.ndarray     # [O] float32 observed right-u; <0 → mono
+    inv_sigma2: jnp.ndarray  # [O] float32 information scale (1/σ²)
+    valid: jnp.ndarray       # [O] bool
+
+    @property
+    def n(self) -> int:
+        return self.kf.shape[0]
+
+
+def project_with_jac(cam_params, pc, bf):
+    """Pinhole projection of camera-frame points with stereo row.
+
+    pc [O,3] -> (pred [O,3] = (u,v,u_r), Jproj [O,3,3] = ∂pred/∂pc).
+    """
+    fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+    x, y = pc[..., 0], pc[..., 1]
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    zi = 1.0 / z
+    zi2 = zi * zi
+    u = fx * x * zi + cx
+    v = fy * y * zi + cy
+    ur = u - bf * zi
+    pred = jnp.stack([u, v, ur], axis=-1)
+    zero = jnp.zeros_like(x)
+    row_u = jnp.stack([fx * zi, zero, -fx * x * zi2], axis=-1)
+    row_v = jnp.stack([zero, fy * zi, -fy * y * zi2], axis=-1)
+    row_r = jnp.stack([fx * zi, zero, -fx * x * zi2 + bf * zi2], axis=-1)
+    J = jnp.stack([row_u, row_v, row_r], axis=-2)
+    return pred, J
+
+
+def reproj_residuals(
+    R_cw, t_cw, X, obs: Observations, cam_params, bf,
+):
+    """Residuals + per-row validity.
+
+    R_cw [K,3,3], t_cw [K,3], X [L,3].
+    Returns (r [O,3], row_mask [O,3] float, depth_ok [O] bool).
+    """
+    Rk = R_cw[obs.kf]
+    tk = t_cw[obs.kf]
+    Xo = X[obs.lm]
+    pc = jnp.einsum("oij,oj->oi", Rk, Xo) + tk
+    pred, _ = project_with_jac(cam_params, pc, bf)
+    observed = jnp.concatenate([obs.uv, obs.u_right[:, None]], axis=-1)
+    r = observed - pred
+    is_stereo = obs.u_right >= 0
+    row_mask = jnp.stack(
+        [
+            jnp.ones_like(is_stereo, jnp.float32),
+            jnp.ones_like(is_stereo, jnp.float32),
+            is_stereo.astype(jnp.float32),
+        ],
+        axis=-1,
+    ) * obs.valid[:, None]
+    depth_ok = pc[:, 2] > 1e-3
+    r = r * row_mask
+    return r, row_mask, depth_ok
+
+
+def reproj_jacobians(R_cw, t_cw, X, obs: Observations, cam_params, bf):
+    """∂r/∂pose [O,3,6] (ξ=(ρ,φ) left-mult on T_cw) and ∂r/∂X [O,3,3]."""
+    Rk = R_cw[obs.kf]
+    tk = t_cw[obs.kf]
+    Xo = X[obs.lm]
+    pc = jnp.einsum("oij,oj->oi", Rk, Xo) + tk
+    _, Jproj = project_with_jac(cam_params, pc, bf)
+    # ∂pc/∂ξ = [I | −hat(pc)]; ∂r/∂· = −Jproj @ ∂pc/∂·
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3))
+    dpc_dxi = jnp.concatenate([eye, -lie.hat(pc)], axis=-1)  # [O,3,6]
+    J_pose = -jnp.einsum("oij,ojk->oik", Jproj, dpc_dxi)
+    J_point = -jnp.einsum("oij,ojk->oik", Jproj, Rk)
+    return J_pose, J_point
+
+
+def huber_weight(chi2, delta2):
+    """IRLS weight for the Huber kernel on squared error.
+
+    w = 1 if chi2 <= delta2 else delta/sqrt(chi2)  (g2o robust_kernel_impl).
+    """
+    return jnp.where(
+        chi2 <= delta2,
+        1.0,
+        jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)),
+    )
