@@ -72,16 +72,65 @@ def texture(x, y, scale: float = 4.0):
     return v * 255.0
 
 
-class PlaneScene(NamedTuple):
-    """A wall: plane n·x = d in world coords (n unit, pointing to camera)."""
+class Scene(NamedTuple):
+    """A set of textured planes n_p·x = d_p bounding the world.
 
-    normal: jnp.ndarray  # [3]
-    d: float             # plane offset: points satisfy normal·x = d
+    A single fronto-parallel plane is DEGENERATE for BA (plane-induced
+    rotation/translation ambiguity), so the default scene is a box room:
+    front wall + floor + ceiling + side walls at different depths.
+    """
+
+    normals: jnp.ndarray  # [P,3] unit normals
+    ds: jnp.ndarray       # [P]
+    u_axes: jnp.ndarray   # [P,3] texture u direction (orthogonal to normal)
+    v_axes: jnp.ndarray   # [P,3]
+    offsets: jnp.ndarray  # [P,2] texture offset so planes look different
 
 
-def default_scene() -> PlaneScene:
-    """Wall at z = 5 m in world frame, camera looking +z."""
-    return PlaneScene(normal=jnp.array([0.0, 0.0, 1.0]), d=5.0)
+def default_scene() -> Scene:
+    """Box room: wall z=5, floor y=+1.5, ceiling y=−1.5, walls x=±3."""
+    return Scene(
+        normals=jnp.array(
+            [
+                [0.0, 0.0, 1.0],   # front wall
+                [0.0, 1.0, 0.0],   # floor
+                [0.0, -1.0, 0.0],  # ceiling
+                [1.0, 0.0, 0.0],   # right wall
+                [-1.0, 0.0, 0.0],  # left wall
+            ]
+        ),
+        ds=jnp.array([5.0, 1.5, 1.5, 4.0, 2.5]),
+        u_axes=jnp.array(
+            [
+                [1.0, 0.0, 0.0],
+                [1.0, 0.0, 0.0],
+                [1.0, 0.0, 0.0],
+                [0.0, 0.0, 1.0],
+                [0.0, 0.0, 1.0],
+            ]
+        ),
+        v_axes=jnp.array(
+            [
+                [0.0, 1.0, 0.0],
+                [0.0, 0.0, 1.0],
+                [0.0, 0.0, 1.0],
+                [0.0, 1.0, 0.0],
+                [0.0, 1.0, 0.0],
+            ]
+        ),
+        offsets=jnp.array(
+            [[0.0, 0.0], [37.0, 11.0], [91.0, 53.0], [140.0, 7.0], [200.0, 170.0]]
+        ),
+    )
+
+
+def wall_scene() -> Scene:
+    """Single wall at z=5 (kept for targeted degenerate-geometry tests)."""
+    s = default_scene()
+    return Scene(
+        normals=s.normals[:1], ds=s.ds[:1], u_axes=s.u_axes[:1],
+        v_axes=s.v_axes[:1], offsets=s.offsets[:1],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "model"))
@@ -89,31 +138,41 @@ def render(
     params: jnp.ndarray,
     R_wc: jnp.ndarray,
     t_wc: jnp.ndarray,
-    scene: PlaneScene,
+    scene: Scene,
     h: int = 480,
     w: int = 752,
     model: str = "pinhole",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render image + depth map for camera-to-world pose (R_wc, t_wc).
 
+    Nearest positive plane intersection per pixel; per-plane texture
+    parametrized by (u_axis, v_axis) world coordinates.
     Returns (img [h,w] float32 0..255, depth [h,w] float32 along camera z).
     """
     _, unproject, _ = cam.make_camera(model)
     vv, uu = jnp.mgrid[0:h, 0:w]
     uv = jnp.stack([uu + 0.5, vv + 0.5], axis=-1).astype(jnp.float32)
     rays_c = unproject(params, uv.reshape(-1, 2))  # [hw,3] z=1
-    rays_w = rays_c @ R_wc.T  # rotate to world
-    # intersect n·(t + s·ray) = d  →  s = (d − n·t) / (n·ray)
-    n_dot_ray = rays_w @ scene.normal
-    s = (scene.d - t_wc @ scene.normal) / jnp.where(
+    rays_w = rays_c @ R_wc.T
+    # per-plane: s_p = (d_p − n_p·t) / (n_p·ray)
+    n_dot_ray = rays_w @ scene.normals.T                       # [hw,P]
+    n_dot_t = scene.normals @ t_wc                             # [P]
+    s_all = (scene.ds - n_dot_t)[None, :] / jnp.where(
         jnp.abs(n_dot_ray) < 1e-6, 1e-6, n_dot_ray
     )
-    pts_w = t_wc[None, :] + s[:, None] * rays_w
-    img = texture(pts_w[:, 0], pts_w[:, 1]).reshape(h, w)
-    depth = (s * rays_c[:, 2]).reshape(h, w)  # rays have z=1 → depth = s
-    behind = (s <= 0).reshape(h, w)
-    img = jnp.where(behind, 0.0, img)
-    depth = jnp.where(behind, -1.0, depth)
+    s_all = jnp.where(s_all > 0.05, s_all, jnp.inf)
+    plane = jnp.argmin(s_all, axis=-1)                         # [hw]
+    s = jnp.take_along_axis(s_all, plane[:, None], axis=-1)[:, 0]
+    hit = jnp.isfinite(s)
+    s_safe = jnp.where(hit, s, 1.0)
+    pts_w = t_wc[None, :] + s_safe[:, None] * rays_w
+    tu = jnp.sum(pts_w * scene.u_axes[plane], axis=-1) + scene.offsets[plane, 0]
+    tv = jnp.sum(pts_w * scene.v_axes[plane], axis=-1) + scene.offsets[plane, 1]
+    img = texture(tu, tv).reshape(h, w)
+    depth = (s_safe * rays_c[:, 2]).reshape(h, w)
+    hit = hit.reshape(h, w)
+    img = jnp.where(hit, img, 0.0)
+    depth = jnp.where(hit, depth, -1.0)
     return img, depth
 
 

@@ -1,0 +1,99 @@
+"""Per-frame front-end: one jitted program from pixels to features+depth.
+
+Fuses what the reference spreads over the stereo ``Frame`` constructor
+(``src/Frame.cc:98``: two extraction threads, undistortion, stereo matching,
+grid binning) into a single XLA program: both views' ORB extraction, the
+row-banded stereo matcher and SAD refine all share one compilation and one
+device dispatch — the TPU analog of the reference's intra-frame thread
+parallelism (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_detailed_comments_kor_tpu.ops import orb as orb_ops
+from orb_slam3_detailed_comments_kor_tpu.ops import pyramid as pyr_ops
+from orb_slam3_detailed_comments_kor_tpu.ops import stereo as stereo_ops
+
+
+class Frame(NamedTuple):
+    """Working record for one (stereo) frame; all arrays capacity N."""
+
+    xy: jnp.ndarray        # [N,2] float32
+    level: jnp.ndarray     # [N] int32
+    angle: jnp.ndarray     # [N] float32
+    desc: jnp.ndarray      # [N,256] uint8 bits
+    desc_packed: jnp.ndarray  # [N,8] uint32
+    valid: jnp.ndarray     # [N] bool
+    u_right: jnp.ndarray   # [N] float32 (-1 mono)
+    depth: jnp.ndarray     # [N] float32 (-1 unknown)
+
+    @property
+    def n(self) -> int:
+        return self.xy.shape[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale", "cell"),
+)
+def process_stereo(
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    bf: float,
+    n_features: int = 1200,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    cell: int = 32,
+) -> Frame:
+    """imgs [H,W] float32 → Frame. One fused device program per shape."""
+    fl = orb_ops.extract_orb(
+        img_l, n_features=n_features, n_levels=n_levels, scale=scale, cell=cell
+    )
+    fr = orb_ops.extract_orb(
+        img_r, n_features=n_features, n_levels=n_levels, scale=scale, cell=cell
+    )
+    pyr_l = pyr_ops.build_pyramid(img_l, n_levels, scale)
+    pyr_r = pyr_ops.build_pyramid(img_r, n_levels, scale)
+    sd = stereo_ops.compute_stereo_matches(fl, fr, pyr_l, pyr_r, bf, scale)
+    return Frame(
+        xy=fl.xy,
+        level=fl.level,
+        angle=fl.angle,
+        desc=fl.desc,
+        desc_packed=orb_ops.pack_descriptors(fl.desc),
+        valid=fl.valid,
+        u_right=sd.u_right,
+        depth=sd.depth,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_features", "n_levels", "scale", "cell")
+)
+def process_mono(
+    img: jnp.ndarray,
+    n_features: int = 1200,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    cell: int = 32,
+) -> Frame:
+    f = orb_ops.extract_orb(
+        img, n_features=n_features, n_levels=n_levels, scale=scale, cell=cell
+    )
+    n = f.xy.shape[0]
+    return Frame(
+        xy=f.xy,
+        level=f.level,
+        angle=f.angle,
+        desc=f.desc,
+        desc_packed=orb_ops.pack_descriptors(f.desc),
+        valid=f.valid,
+        u_right=-jnp.ones((n,)),
+        depth=-jnp.ones((n,)),
+    )

@@ -1,0 +1,212 @@
+"""Host-side SLAM system facade + tracking state machine.
+
+Counterpart of the reference's ``System`` (``src/System.cc:41-842``) and the
+host-control parts of ``Tracking::Track()`` (``src/Tracking.cc:1718-2234``):
+the state machine (NOT_INITIALIZED / OK / RECENTLY_LOST / LOST,
+``Tracking.h:179-187``), the constant-velocity motion model, the
+new-keyframe decision (``Tracking.cc:3078``) and trajectory recording
+(``Tracking.cc:2213-2233``).
+
+All per-frame compute is the jitted kernels in ``tracking.py`` /
+``frontend.py``; this class only sequences them and pulls the few scalars
+(inlier counts) the branching decisions need.  Where the reference runs
+LocalMapping in a second thread, we run the mapping step synchronously after
+each keyframe insertion for now (async overlap is a planned optimization —
+the kernels are already separate dispatches).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_detailed_comments_kor_tpu.config import SLAMConfig, SensorType
+from orb_slam3_detailed_comments_kor_tpu.models import camera as cam_mod
+from orb_slam3_detailed_comments_kor_tpu.ops import orb as orb_ops
+from orb_slam3_detailed_comments_kor_tpu.slam import frontend, map_state as msx, tracking
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+
+class TrackingState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    RECENTLY_LOST = 2
+    LOST = 3
+
+
+class SlamSystem:
+    """Stereo(-first) SLAM system over device-resident map state."""
+
+    def __init__(self, config: SLAMConfig):
+        self.cfg = config
+        cap = config.capacity
+        self.n_feat = sum(
+            orb_ops.level_budgets(
+                config.orb.n_features, config.orb.n_levels, config.orb.scale_factor
+            )
+        )
+        self.ms = msx.empty_map(cap.max_keyframes, self.n_feat, cap.max_landmarks)
+        self.cam_params = cam_mod.camera_params_from_config(config.camera)
+        self.state = TrackingState.NOT_INITIALIZED
+        self.R_cw = jnp.eye(3)
+        self.t_cw = jnp.zeros(3)
+        self.vel_R = jnp.eye(3)
+        self.vel_t = jnp.zeros(3)
+        self.has_velocity = False
+        self.n_kf = 0
+        self.frames_since_kf = 0
+        self.inliers_at_last_kf = 0
+        self.n_frames = 0
+        self.n_lost_frames = 0
+        # trajectory log: (time, R_cw, t_cw) on host
+        self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+
+    # ------------------------------------------------------------------
+    @property
+    def baseline(self) -> float:
+        return self.cfg.camera.bf / self.cfg.camera.fx
+
+    def camera_center(self) -> np.ndarray:
+        R = np.asarray(self.R_cw)
+        t = np.asarray(self.t_cw)
+        return -R.T @ t
+
+    # ------------------------------------------------------------------
+    def track_stereo(self, img_l, img_r, t: float) -> int:
+        """Feed one rectified stereo pair. Returns the tracking state."""
+        cam = self.cfg.camera
+        frame = frontend.process_stereo(
+            jnp.asarray(img_l, jnp.float32),
+            jnp.asarray(img_r, jnp.float32),
+            cam.bf,
+            n_features=self.cfg.orb.n_features,
+            n_levels=self.cfg.orb.n_levels,
+            scale=self.cfg.orb.scale_factor,
+            cell=self.cfg.orb.cell_size,
+        )
+        self.n_frames += 1
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._stereo_initialize(frame, t)
+        else:
+            self._track(frame, t)
+
+        self.trajectory.append(
+            (t, np.asarray(self.R_cw).copy(), np.asarray(self.t_cw).copy())
+        )
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _stereo_initialize(self, frame: frontend.Frame, t: float) -> None:
+        """StereoInitialization analog (``Tracking.cc:2236``): need enough
+        stereo depths, then KF0 at the current pose with depth landmarks."""
+        n_depth = int(jnp.sum((frame.depth > 0) & frame.valid))
+        if n_depth < 100:
+            return
+        self._insert_keyframe(frame, t, lm_feat=None)
+        self.state = TrackingState.OK
+        self.inliers_at_last_kf = n_depth
+
+    def _track(self, frame: frontend.Frame, t: float) -> None:
+        cam = self.cfg.camera
+        if self.has_velocity:
+            R_pred, t_pred = lie.se3_compose(
+                self.vel_R, self.vel_t, self.R_cw, self.t_cw
+            )
+        else:
+            R_pred, t_pred = self.R_cw, self.t_cw
+        tr = tracking.track_frame(
+            self.ms, frame, R_pred, t_pred, self.cam_params, cam.bf,
+            w=cam.width, h=cam.height,
+            scale=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        n_inliers = int(tr.n_inliers)
+
+        if n_inliers < self.cfg.tracking.min_inliers_track:
+            # lost: keep last pose; recovery (reloc / new map) comes with the
+            # Atlas + place-recognition milestones
+            self.n_lost_frames += 1
+            self.state = (
+                TrackingState.RECENTLY_LOST
+                if self.n_lost_frames < 20
+                else TrackingState.LOST
+            )
+            self.has_velocity = False
+            return
+
+        self.n_lost_frames = 0
+        self.state = TrackingState.OK
+        # velocity = T_cw_new ∘ inv(T_cw_old)
+        Ri, ti = lie.se3_inverse(self.R_cw, self.t_cw)
+        self.vel_R, self.vel_t = lie.se3_compose(tr.R_cw, tr.t_cw, Ri, ti)
+        self.has_velocity = True
+        self.R_cw, self.t_cw = tr.R_cw, tr.t_cw
+        self.ms = tracking.update_landmark_stats(self.ms, tr)
+        self.frames_since_kf += 1
+
+        if self._need_new_keyframe(frame, n_inliers):
+            self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
+            self.inliers_at_last_kf = n_inliers
+
+    def _need_new_keyframe(self, frame: frontend.Frame, n_inliers: int) -> bool:
+        """KF decision (``Tracking.cc:3078-3273``, simplified visual c1/c2):
+        enough frames passed, or tracking weakened vs the reference KF."""
+        tc = self.cfg.tracking
+        if self.n_kf >= self.ms.K - 1:
+            return False
+        if self.frames_since_kf < max(tc.min_frames_between_kf, 1):
+            return False
+        c1 = self.frames_since_kf >= tc.max_frames_between_kf
+        c2 = n_inliers < tc.kf_ref_ratio * max(self.inliers_at_last_kf, 1)
+        c3 = n_inliers < 2 * tc.min_inliers_local_map  # tracking getting thin
+        return c1 or c2 or c3
+
+    def _insert_keyframe(self, frame: frontend.Frame, t: float, lm_feat) -> None:
+        cam = self.cfg.camera
+        kf_idx = jnp.int32(self.n_kf)
+        if lm_feat is None:
+            lm_feat = -jnp.ones((self.ms.L,), jnp.int32)
+        # StereoInitialization spawns ALL depth-positive points
+        # (Tracking.cc:2236); later keyframes only close ones + nearest-100
+        depth_far = (
+            float("inf") if self.n_kf == 0 else cam.th_depth * self.baseline
+        )
+        self.ms = tracking.make_keyframe(
+            self.ms, frame, self.R_cw, self.t_cw, jnp.float32(t), kf_idx,
+            lm_feat, self.cam_params, depth_far,
+            scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        self.n_kf += 1
+        self.frames_since_kf = 0
+        # synchronous local mapping (LocalMapping::Run essentials)
+        if self.n_kf >= 2:
+            self.ms = tracking.local_ba_step(
+                self.ms, kf_idx, self.cam_params, cam.bf,
+                window=min(8, self.cfg.capacity.max_local_kfs),
+                lm_cap=self.cfg.capacity.max_local_landmarks,
+            )
+            self.ms = tracking.cull_landmarks(self.ms)
+            # NOTE: the live tracking pose is deliberately NOT overwritten by
+            # the BA result — the tracker re-aligns to the refined map at the
+            # next frame's optimization (reference behavior: Tracking owns its
+            # pose; LocalMapping only refines the map)
+
+    # ------------------------------------------------------------------
+    def trajectory_arrays(self):
+        """(times [T], positions_wc [T,3], R_wc [T,3,3]) for evaluation."""
+        ts = np.array([t for t, _, _ in self.trajectory])
+        Rs = np.stack([R for _, R, _ in self.trajectory])
+        tt = np.stack([t for _, _, t in self.trajectory])
+        R_wc = np.transpose(Rs, (0, 2, 1))
+        centers = -np.einsum("tij,tj->ti", R_wc, tt)
+        return ts, centers, R_wc
+
+    def map_stats(self):
+        return {
+            "n_keyframes": int(jnp.sum(self.ms.kf_valid)),
+            "n_landmarks": int(jnp.sum(self.ms.lm_valid)),
+            "n_frames": self.n_frames,
+        }

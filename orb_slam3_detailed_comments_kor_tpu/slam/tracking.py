@@ -1,0 +1,335 @@
+"""Jitted tracking steps: project-match-optimize, keyframe insertion,
+windowed local BA, landmark culling.
+
+These are the device-side kernels behind the host state machine in
+``system.py``.  Reference counterparts:
+
+- ``track_frame``       ← TrackWithMotionModel + TrackLocalMap
+  (``src/Tracking.cc:2817, 2927``): the reference matches last-frame points
+  first and local-map points second; on TPU we project the *whole* landmark
+  block both times (a batched matmul is cheaper than maintaining local-point
+  sets) — stage 1 wide radius at the motion-model pose, stage 2 narrow
+  radius at the stage-1 optimum, each followed by motion-only BA.
+- ``make_keyframe``     ← Tracking::CreateNewKeyFrame (``Tracking.cc:3275``)
+  incl. spawning close stereo MapPoints, and StereoInitialization
+  (``Tracking.cc:2236``) when the map is empty.
+- ``local_ba_step``     ← LocalMapping's covisibility-window BA
+  (``LocalMapping.cc:190`` → ``Optimizer.cc:1637``) with window compaction
+  replacing the pointer-chasing local-map assembly.
+- ``cull_landmarks``    ← LocalMapping::MapPointCulling (``LocalMapping.cc:421``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_detailed_comments_kor_tpu.models import camera as cam_mod
+from orb_slam3_detailed_comments_kor_tpu.ops import matching, orb as orb_ops
+from orb_slam3_detailed_comments_kor_tpu.optim import ba, factors
+from orb_slam3_detailed_comments_kor_tpu.slam import map_state as msx
+from orb_slam3_detailed_comments_kor_tpu.slam.frontend import Frame
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+
+class TrackResult(NamedTuple):
+    R_cw: jnp.ndarray
+    t_cw: jnp.ndarray
+    lm_feat: jnp.ndarray     # [L] matched feature idx per landmark (-1)
+    lm_inlier: jnp.ndarray   # [L] bool, survived pose optimization
+    n_inliers: jnp.ndarray   # scalar
+    n_visible: jnp.ndarray   # scalar (landmarks in frustum)
+
+
+def _project_landmarks(ms, R_cw, t_cw, cam_params, w, h, scale, n_levels):
+    """Frustum + scale-band visibility for the whole landmark block
+    (Frame::isInFrustum analog, ``Frame.h:101``)."""
+    pc = ms.lm_pos @ R_cw.T + t_cw
+    uv = cam_mod.pinhole_project(cam_params, pc)
+    Ow = -R_cw.T @ t_cw
+    delta = ms.lm_pos - Ow
+    dist = jnp.linalg.norm(delta, axis=-1)
+    viewcos = jnp.sum(delta * ms.lm_normal, axis=-1) / jnp.maximum(dist, 1e-6)
+    visible = (
+        ms.lm_valid
+        & (pc[:, 2] > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+        & (dist >= 0.8 * ms.lm_min_dist)
+        & (dist <= 1.3 * ms.lm_max_dist)
+        & (viewcos > 0.5)
+    )
+    level = msx.predict_level(dist, ms.lm_max_dist, scale, n_levels)
+    return uv, level, visible
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "h", "scale", "n_levels", "r_wide", "r_narrow"),
+)
+def track_frame(
+    ms: msx.MapState,
+    frame: Frame,
+    R_pred: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    bf: float,
+    w: int,
+    h: int,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    r_wide: float = 15.0,
+    r_narrow: float = 4.0,
+) -> TrackResult:
+    """Two-stage project→match→optimize. One fused device program."""
+    lm_bits = orb_ops.unpack_descriptors(ms.lm_desc)
+    inv_sigma2_feat = 1.0 / (scale ** (2.0 * frame.level.astype(jnp.float32)))
+
+    def stage(R, t, radius, max_dist):
+        uv, lvl, vis = _project_landmarks(
+            ms, R, t, cam_params, w, h, scale, n_levels
+        )
+        res = matching.search_by_projection(
+            uv, lvl, lm_bits, vis,
+            frame.xy, frame.level, frame.desc, frame.valid,
+            radius=radius, scale=scale, max_dist=max_dist,
+        )
+        res = matching.resolve_duplicate_targets(res, frame.n)
+        feat = jnp.clip(res.idx, 0)
+        X = ms.lm_pos
+        opt = ba.pose_optimization(
+            R, t, X,
+            frame.xy[feat],
+            frame.u_right[feat],
+            inv_sigma2_feat[feat],
+            res.valid,
+            cam_params, bf,
+        )
+        return opt, res, vis
+
+    opt1, _, _ = stage(R_pred, t_pred, r_wide, matching.TH_HIGH)
+    opt2, res2, vis2 = stage(opt1.R_cw, opt1.t_cw, r_narrow, matching.TH_HIGH)
+    inlier = res2.valid & opt2.inlier
+    return TrackResult(
+        R_cw=opt2.R_cw,
+        t_cw=opt2.t_cw,
+        lm_feat=jnp.where(inlier, res2.idx, -1),
+        lm_inlier=inlier,
+        n_inliers=jnp.sum(inlier),
+        n_visible=jnp.sum(vis2),
+    )
+
+
+def update_landmark_stats(
+    ms: msx.MapState, tr: TrackResult, visible_mask=None
+) -> msx.MapState:
+    """found/visible counters (MapPoint::IncreaseFound/Visible)."""
+    found = ms.lm_found + tr.lm_inlier.astype(jnp.int32)
+    if visible_mask is None:
+        visible_mask = tr.lm_inlier
+    visible = ms.lm_visible + visible_mask.astype(jnp.int32)
+    return ms._replace(lm_found=found, lm_visible=visible)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_levels"))
+def make_keyframe(
+    ms: msx.MapState,
+    frame: Frame,
+    R_cw: jnp.ndarray,
+    t_cw: jnp.ndarray,
+    time: jnp.ndarray,
+    kf_idx: jnp.ndarray,
+    lm_feat: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    depth_far: float,
+    scale: float = 1.2,
+    n_levels: int = 8,
+) -> msx.MapState:
+    """Insert a keyframe + spawn stereo landmarks for unmatched close
+    features. lm_feat [L] is the tracking association (feature idx or -1)."""
+    N = frame.n
+    # invert landmark→feature into feature→landmark
+    feat_lm = jnp.full((N,), -1, jnp.int32)
+    lm_ids = jnp.arange(ms.L, dtype=jnp.int32)
+    feat_lm = feat_lm.at[jnp.clip(lm_feat, 0)].set(
+        jnp.where(lm_feat >= 0, lm_ids, -1), mode="drop"
+    )
+    # guard: only keep entries where lm actually matched
+    matched_feat = jnp.zeros((N,), bool).at[jnp.clip(lm_feat, 0)].set(
+        lm_feat >= 0, mode="drop"
+    )
+    feat_lm = jnp.where(matched_feat, feat_lm, -1)
+
+    # ---- new landmarks from stereo depth --------------------------------
+    # close points always spawn; if fewer than 100 are close, spawn the 100
+    # nearest anyway (reference CreateNewKeyFrame takes the sorted-nearest
+    # fallback, Tracking.cc:3275 region)
+    candidate = frame.valid & (frame.depth > 0.0) & (feat_lm < 0)
+    depth_sorted = jnp.sort(jnp.where(candidate, frame.depth, jnp.inf))
+    depth_100 = depth_sorted[jnp.minimum(99, N - 1)]
+    eff_far = jnp.maximum(depth_far, depth_100 * 1.0001)
+    want = candidate & (frame.depth < eff_far)
+    slots = msx.allocate_slots(~ms.lm_valid, want)
+    got = slots >= 0
+    # park non-allocations at index L so mode="drop" discards them (clipping
+    # to 0 would make every rejected feature race to overwrite slot 0)
+    sl = jnp.where(got, slots, ms.L)
+
+    rays = cam_mod.pinhole_unproject(cam_params, frame.xy)
+    pc = rays * frame.depth[:, None]
+    R_wc = R_cw.T
+    Ow = -R_wc @ t_cw
+    Xw = pc @ R_wc.T + Ow
+    delta = Xw - Ow
+    dist = jnp.linalg.norm(delta, axis=-1)
+    normal = delta / jnp.maximum(dist[:, None], 1e-6)
+    mind, maxd = msx.landmark_scale_band(dist, frame.level, scale, n_levels)
+
+    ones = jnp.ones((N,), jnp.int32)
+    ms = ms._replace(
+        lm_pos=ms.lm_pos.at[sl].set(Xw, mode="drop"),
+        lm_valid=ms.lm_valid.at[sl].set(True, mode="drop"),
+        lm_desc=ms.lm_desc.at[sl].set(frame.desc_packed, mode="drop"),
+        lm_normal=ms.lm_normal.at[sl].set(normal, mode="drop"),
+        lm_min_dist=ms.lm_min_dist.at[sl].set(mind, mode="drop"),
+        lm_max_dist=ms.lm_max_dist.at[sl].set(maxd, mode="drop"),
+        lm_found=ms.lm_found.at[sl].set(ones, mode="drop"),
+        lm_visible=ms.lm_visible.at[sl].set(ones, mode="drop"),
+        lm_first_kf=ms.lm_first_kf.at[sl].set(
+            jnp.full((N,), kf_idx, jnp.int32), mode="drop"
+        ),
+    )
+    feat_lm = jnp.where(got, slots, feat_lm)
+
+    # ---- write the keyframe slot ----------------------------------------
+    ms = ms._replace(
+        kf_R_cw=ms.kf_R_cw.at[kf_idx].set(R_cw),
+        kf_t_cw=ms.kf_t_cw.at[kf_idx].set(t_cw),
+        kf_valid=ms.kf_valid.at[kf_idx].set(True),
+        kf_time=ms.kf_time.at[kf_idx].set(time),
+        kf_xy=ms.kf_xy.at[kf_idx].set(frame.xy),
+        kf_level=ms.kf_level.at[kf_idx].set(frame.level),
+        kf_angle=ms.kf_angle.at[kf_idx].set(frame.angle),
+        kf_desc=ms.kf_desc.at[kf_idx].set(frame.desc_packed),
+        kf_ur=ms.kf_ur.at[kf_idx].set(frame.u_right),
+        kf_feat_valid=ms.kf_feat_valid.at[kf_idx].set(frame.valid),
+        obs_lm=ms.obs_lm.at[kf_idx].set(feat_lm),
+    )
+    return ms
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "lm_cap", "iters", "scale")
+)
+def local_ba_step(
+    ms: msx.MapState,
+    center_kf: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    bf: float,
+    window: int = 8,
+    lm_cap: int = 4096,
+    iters: int = 8,
+    scale: float = 1.2,
+) -> msx.MapState:
+    """Covisibility-window local BA with landmark compaction.
+
+    Picks the `window` most-covisible keyframes of `center_kf` (plus
+    itself), compacts their observed landmarks into a static `lm_cap` block,
+    runs Schur-LM BA with the oldest window keyframe fixed, and scatters
+    the refined poses/points back into the map.
+    """
+    K, N, L = ms.K, ms.N, ms.L
+    cov = msx.covisibility_weights(ms, center_kf[None])[0]  # [K]
+    cov = cov.at[center_kf].set(1 << 20)  # center always first
+    cov = jnp.where(ms.kf_valid, cov, -1)
+    _, win = jax.lax.top_k(cov, window)  # [W] kf indices (desc covis)
+    win_valid = jnp.take(cov, win) > 0
+
+    # fix the oldest valid kf in the window (gauge anchor)
+    win_times = jnp.where(win_valid, ms.kf_time[win], jnp.inf)
+    anchor = jnp.argmin(win_times)
+    fixed_pose = jnp.zeros((window,), bool).at[anchor].set(True)
+    fixed_pose = fixed_pose | ~win_valid
+    # single-KF maps: everything fixed → no-op BA; guard by freeing center
+    n_free = jnp.sum(~fixed_pose)
+    fixed_pose = jnp.where(n_free == 0, fixed_pose.at[0].set(False), fixed_pose)
+
+    # ---- landmark window compaction -------------------------------------
+    obs_rows = ms.obs_lm[win]              # [W,N]
+    feat_ok = ms.kf_feat_valid[win] & (obs_rows >= 0) & win_valid[:, None]
+    lm_hit = jnp.zeros((L,), bool).at[jnp.clip(obs_rows, 0)].max(
+        feat_ok, mode="drop"
+    )
+    lm_hit = lm_hit & ms.lm_valid
+    local_of_global = jnp.where(lm_hit, jnp.cumsum(lm_hit) - 1, lm_cap)
+    overflow = local_of_global >= lm_cap
+    local_of_global = jnp.where(overflow, lm_cap, local_of_global)
+    global_of_local = jnp.full((lm_cap + 1,), 0, jnp.int32).at[
+        jnp.clip(local_of_global, 0, lm_cap)
+    ].set(jnp.arange(L, dtype=jnp.int32), mode="drop")
+    lm_used = jnp.zeros((lm_cap + 1,), bool).at[
+        jnp.clip(local_of_global, 0, lm_cap)
+    ].set(lm_hit & ~overflow, mode="drop")
+
+    X_local = ms.lm_pos[global_of_local[:lm_cap]]
+
+    # ---- flat observation table -----------------------------------------
+    lm_local = local_of_global[jnp.clip(obs_rows, 0)]  # [W,N]
+    obs_valid = feat_ok & (lm_local < lm_cap)
+    kf_col = jnp.broadcast_to(
+        jnp.arange(window, dtype=jnp.int32)[:, None], (window, N)
+    )
+    inv_s2 = 1.0 / (scale ** (2.0 * ms.kf_level[win].astype(jnp.float32)))
+    obs = factors.Observations(
+        kf=kf_col.reshape(-1),
+        lm=jnp.clip(lm_local, 0, lm_cap - 1).reshape(-1),
+        uv=ms.kf_xy[win].reshape(-1, 2),
+        u_right=ms.kf_ur[win].reshape(-1),
+        inv_sigma2=inv_s2.reshape(-1),
+        valid=obs_valid.reshape(-1),
+    )
+    res = ba.bundle_adjust(
+        ms.kf_R_cw[win],
+        ms.kf_t_cw[win],
+        X_local,
+        obs,
+        fixed_pose,
+        ~lm_used[:lm_cap],
+        cam_params,
+        bf,
+        iters=iters,
+    )
+
+    # ---- scatter back ----------------------------------------------------
+    upd_pose = win_valid & ~fixed_pose
+    ms = ms._replace(
+        kf_R_cw=ms.kf_R_cw.at[win].set(
+            jnp.where(upd_pose[:, None, None], res.R_cw, ms.kf_R_cw[win])
+        ),
+        kf_t_cw=ms.kf_t_cw.at[win].set(
+            jnp.where(upd_pose[:, None], res.t_cw, ms.kf_t_cw[win])
+        ),
+        lm_pos=ms.lm_pos.at[global_of_local[:lm_cap]].set(
+            jnp.where(lm_used[:lm_cap, None], res.X, X_local), mode="drop"
+        ),
+    )
+    # drop observations BA marked as outliers (reference erases those edges)
+    outlier = obs.valid & ~res.inlier
+    new_rows = jnp.where(
+        outlier.reshape(window, N), -1, obs_rows
+    )
+    ms = ms._replace(obs_lm=ms.obs_lm.at[win].set(
+        jnp.where(win_valid[:, None], new_rows, obs_rows)
+    ))
+    return ms
+
+
+@jax.jit
+def cull_landmarks(ms: msx.MapState) -> msx.MapState:
+    """Found-ratio culling (LocalMapping::MapPointCulling semantics)."""
+    ratio = ms.lm_found / jnp.maximum(ms.lm_visible, 1)
+    bad = ms.lm_valid & (ms.lm_visible >= 4) & (ratio < 0.25)
+    return ms._replace(lm_valid=ms.lm_valid & ~bad)
