@@ -15,6 +15,14 @@ Nothing in here is a translation of the reference's C++; the reference defines
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to bf16 inputs; the BA normal equations and Lie/camera
+# einsums need true f32 (bf16's 8-bit mantissa destroys LM convergence —
+# observed as tracking loss on-chip). Ops that are exact in bf16 (the 0/1
+# Hamming popcount matmuls) opt back in explicitly with Precision.DEFAULT.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from orb_slam3_detailed_comments_kor_tpu.config import (  # noqa: F401
     CameraConfig,
     IMUConfig,

@@ -30,8 +30,11 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """[N,256]x[M,256] {0,1} -> [N,M] float32 Hamming distances (exact)."""
     a = desc_a.astype(jnp.float32)
     b = desc_b.astype(jnp.float32)
+    # bf16 is exact for 0/1 inputs with f32 accumulation → keep the fast MXU
+    # path even though the package default is float32 precision
     common = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     na = jnp.sum(a, axis=1, keepdims=True)
     nb = jnp.sum(b, axis=1, keepdims=True)

@@ -1,0 +1,62 @@
+"""Distributed BA on the 8-virtual-device CPU mesh: must match the
+single-device solver (the 'fake backend' test the reference never had,
+SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam3_detailed_comments_kor_tpu.optim import ba
+from orb_slam3_detailed_comments_kor_tpu.parallel import dist_ba
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+from test_ba import CAM, BF, make_world, project_all
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device")
+class TestDistributedBA:
+    def test_matches_single_device(self):
+        key = jax.random.PRNGKey(11)
+        R_gt, t_gt, X_gt = make_world(key, n_points=120, n_poses=4)
+        obs = project_all(R_gt, t_gt, X_gt, stereo=True)
+        k1, k2, k3 = jax.random.split(key, 3)
+        obs = obs._replace(uv=obs.uv + 0.3 * jax.random.normal(k1, obs.uv.shape))
+        xi = 0.02 * jax.random.normal(k2, (4, 6)).at[0].set(0.0)
+        dR, dt = lie.se3_exp(xi)
+        R0 = dR @ R_gt
+        t0 = jnp.einsum("kij,kj->ki", dR, t_gt) + dt
+        X0 = X_gt + 0.05 * jax.random.normal(k3, X_gt.shape)
+        fixed_pose = jnp.zeros((4,), bool).at[0].set(True)
+        fixed_point = jnp.zeros((120,), bool)
+
+        mesh = dist_ba.make_mesh(8)
+        Rd, td, Xd = dist_ba.distributed_bundle_adjust(
+            mesh, R0, t0, X0, obs, fixed_pose, fixed_point, CAM, BF, iters=10
+        )
+        # recovers ground truth
+        t_err = np.abs(np.asarray(td - t_gt)).max()
+        assert t_err < 0.01, t_err
+        # agrees with the single-device path
+        res = ba.bundle_adjust(
+            R0, t0, X0, obs, fixed_pose, fixed_point, CAM, BF, iters=10
+        )
+        np.testing.assert_allclose(
+            np.asarray(td), np.asarray(res.t_cw), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(Xd), np.asarray(res.X), atol=5e-3
+        )
+
+    def test_obs_padding(self):
+        key = jax.random.PRNGKey(12)
+        R_gt, t_gt, X_gt = make_world(key, n_points=33, n_poses=2)  # odd sizes
+        obs = project_all(R_gt, t_gt, X_gt, stereo=False)
+        mesh = dist_ba.make_mesh(8)
+        Rd, td, Xd = dist_ba.distributed_bundle_adjust(
+            mesh, R_gt, t_gt, X_gt, obs,
+            jnp.zeros((2,), bool).at[0].set(True), jnp.zeros((33,), bool),
+            CAM, BF, iters=3,
+        )
+        # noise-free from GT: stays at GT
+        assert float(jnp.abs(td - t_gt).max()) < 1e-4
