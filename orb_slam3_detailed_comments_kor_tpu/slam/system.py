@@ -77,25 +77,25 @@ class SlamSystem:
     def track_stereo(self, img_l, img_r, t: float) -> int:
         """Feed one rectified stereo pair. Returns the tracking state."""
         cam = self.cfg.camera
-        frame = frontend.process_stereo(
-            jnp.asarray(img_l, jnp.float32),
-            jnp.asarray(img_r, jnp.float32),
-            cam.bf,
-            n_features=self.cfg.orb.n_features,
-            n_levels=self.cfg.orb.n_levels,
-            scale=self.cfg.orb.scale_factor,
-            cell=self.cfg.orb.cell_size,
-        )
         self.n_frames += 1
 
         if self.state == TrackingState.NOT_INITIALIZED:
+            frame = frontend.process_stereo(
+                jnp.asarray(img_l, jnp.float32),
+                jnp.asarray(img_r, jnp.float32),
+                cam.bf,
+                n_features=self.cfg.orb.n_features,
+                n_levels=self.cfg.orb.n_levels,
+                scale=self.cfg.orb.scale_factor,
+                cell=self.cfg.orb.cell_size,
+            )
             self._stereo_initialize(frame, t)
         else:
-            self._track(frame, t)
+            self._track(jnp.asarray(img_l, jnp.float32),
+                        jnp.asarray(img_r, jnp.float32), t)
 
-        self.trajectory.append(
-            (t, np.asarray(self.R_cw).copy(), np.asarray(self.t_cw).copy())
-        )
+        # poses stay on device; converted in bulk at evaluation time
+        self.trajectory.append((t, self.R_cw, self.t_cw))
         return self.state
 
     # ------------------------------------------------------------------
@@ -109,20 +109,20 @@ class SlamSystem:
         self.state = TrackingState.OK
         self.inliers_at_last_kf = n_depth
 
-    def _track(self, frame: frontend.Frame, t: float) -> None:
+    def _track(self, img_l, img_r, t: float) -> None:
         cam = self.cfg.camera
-        if self.has_velocity:
-            R_pred, t_pred = lie.se3_compose(
-                self.vel_R, self.vel_t, self.R_cw, self.t_cw
-            )
-        else:
-            R_pred, t_pred = self.R_cw, self.t_cw
-        tr = tracking.track_frame(
-            self.ms, frame, R_pred, t_pred, self.cam_params, cam.bf,
-            w=cam.width, h=cam.height,
+        ms, frame, tr, R_new, t_new, vel_R, vel_t, _ = tracking.full_frame_step(
+            self.ms, img_l, img_r, self.R_cw, self.t_cw,
+            self.vel_R, self.vel_t, jnp.bool_(self.has_velocity),
+            self.cam_params,
+            bf=cam.bf, w=cam.width, h=cam.height,
             scale=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
+            n_features=self.cfg.orb.n_features,
+            cell=self.cfg.orb.cell_size,
+            min_inliers=self.cfg.tracking.min_inliers_track,
         )
+        self.ms = ms
         n_inliers = int(tr.n_inliers)
 
         if n_inliers < self.cfg.tracking.min_inliers_track:
@@ -139,12 +139,9 @@ class SlamSystem:
 
         self.n_lost_frames = 0
         self.state = TrackingState.OK
-        # velocity = T_cw_new ∘ inv(T_cw_old)
-        Ri, ti = lie.se3_inverse(self.R_cw, self.t_cw)
-        self.vel_R, self.vel_t = lie.se3_compose(tr.R_cw, tr.t_cw, Ri, ti)
+        self.R_cw, self.t_cw = R_new, t_new
+        self.vel_R, self.vel_t = vel_R, vel_t
         self.has_velocity = True
-        self.R_cw, self.t_cw = tr.R_cw, tr.t_cw
-        self.ms = tracking.update_landmark_stats(self.ms, tr)
         self.frames_since_kf += 1
 
         if self._need_new_keyframe(frame, n_inliers):
@@ -198,8 +195,8 @@ class SlamSystem:
     def trajectory_arrays(self):
         """(times [T], positions_wc [T,3], R_wc [T,3,3]) for evaluation."""
         ts = np.array([t for t, _, _ in self.trajectory])
-        Rs = np.stack([R for _, R, _ in self.trajectory])
-        tt = np.stack([t for _, _, t in self.trajectory])
+        Rs = np.stack([np.asarray(R) for _, R, _ in self.trajectory])
+        tt = np.stack([np.asarray(t) for _, _, t in self.trajectory])
         R_wc = np.transpose(Rs, (0, 2, 1))
         centers = -np.einsum("tij,tj->ti", R_wc, tt)
         return ts, centers, R_wc

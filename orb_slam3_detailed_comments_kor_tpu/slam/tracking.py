@@ -123,6 +123,66 @@ def track_frame(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bf", "w", "h", "scale", "n_levels", "n_features", "cell",
+        "min_inliers",
+    ),
+    donate_argnums=(0,),
+)
+def full_frame_step(
+    ms: msx.MapState,
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    R_last: jnp.ndarray,
+    t_last: jnp.ndarray,
+    vel_R: jnp.ndarray,
+    vel_t: jnp.ndarray,
+    has_vel: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    bf: float,
+    w: int,
+    h: int,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    n_features: int = 1200,
+    cell: int = 32,
+    min_inliers: int = 10,
+):
+    """ONE device program for the whole per-frame hot path: stereo ORB
+    front-end + two-stage track + landmark stats + motion-model update.
+
+    The host receives (ms', frame, tr, R, t, vel_R, vel_t, ok) and only needs
+    the tr.n_inliers scalar for its state machine — a single dispatch and a
+    single scalar sync per frame instead of ~8 dispatches (this is what makes
+    the tracking latency target reachable through a remote device tunnel,
+    and minimizes launch overhead on a local chip too).
+    """
+    from orb_slam3_detailed_comments_kor_tpu.slam import frontend as fe
+
+    frame = fe.process_stereo.__wrapped__(
+        img_l, img_r, bf, n_features=n_features, n_levels=n_levels,
+        scale=scale, cell=cell,
+    )
+    R_pred0, t_pred0 = lie.se3_compose(vel_R, vel_t, R_last, t_last)
+    R_pred = jnp.where(has_vel, R_pred0, R_last)
+    t_pred = jnp.where(has_vel, t_pred0, t_last)
+    tr = track_frame.__wrapped__(
+        ms, frame, R_pred, t_pred, cam_params, bf, w, h, scale, n_levels
+    )
+    ok = tr.n_inliers >= min_inliers
+    ms = update_landmark_stats(ms, tr)
+    # motion model: vel = T_new ∘ inv(T_last); freeze when tracking failed
+    Ri, ti = lie.se3_inverse(R_last, t_last)
+    vR_new, vt_new = lie.se3_compose(tr.R_cw, tr.t_cw, Ri, ti)
+    vel_R = jnp.where(ok, vR_new, vel_R)
+    vel_t = jnp.where(ok, vt_new, vel_t)
+    R_out = jnp.where(ok, tr.R_cw, R_last)
+    t_out = jnp.where(ok, tr.t_cw, t_last)
+    return ms, frame, tr, R_out, t_out, vel_R, vel_t, ok
+
+
 def update_landmark_stats(
     ms: msx.MapState, tr: TrackResult, visible_mask=None
 ) -> msx.MapState:
