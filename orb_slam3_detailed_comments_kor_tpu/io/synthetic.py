@@ -208,6 +208,83 @@ def make_trajectory(
     return np.stack(Rs).astype(np.float32), np.stack(ts).astype(np.float32)
 
 
+class AnalyticTrajectory:
+    """Smooth analytic camera/body trajectory with exact derivatives.
+
+    Position and orientation are closed-form sinusoids; velocity, specific
+    force and body rates come from jax autodiff, so the synthetic IMU is
+    exact to float precision — the oracle for preintegration tests
+    (SURVEY.md §4: 'preintegration vs tiny numerical integrator').
+    World frame: x right, y down (gravity +y), z forward into the scene.
+    """
+
+    def __init__(self, scale: float = 1.0, gravity: float = 9.81, seed: int = 0):
+        self.g_w = jnp.array([0.0, gravity, 0.0])
+        a = scale
+
+        def pos(t):
+            return jnp.stack(
+                [
+                    0.8 * a * jnp.sin(0.50 * t),
+                    0.15 * a * jnp.sin(0.90 * t + 1.0),
+                    0.40 * a * jnp.sin(0.40 * t + 0.3),
+                ]
+            )
+
+        def rotvec(t):
+            return jnp.stack(
+                [
+                    0.10 * jnp.sin(0.45 * t + 0.5),
+                    0.25 * jnp.sin(0.30 * t),
+                    0.05 * jnp.sin(0.70 * t + 1.2),
+                ]
+            )
+
+        self._pos = pos
+        self._rotvec = rotvec
+        self._vel = jax.jacfwd(pos)
+        self._acc = jax.jacfwd(self._vel)
+        self._drot = jax.jacfwd(lambda t: lie.so3_exp(rotvec(t)))
+
+    def pose(self, t):
+        """(R_wb [3,3], p_wb [3]) body/camera-to-world."""
+        return lie.so3_exp(self._rotvec(jnp.float32(t))), self._pos(jnp.float32(t))
+
+    def velocity(self, t):
+        return self._vel(jnp.float32(t))
+
+    def imu_at(self, t):
+        """(acc_body, gyro_body) ideal measurements at time t."""
+        t = jnp.float32(t)
+        R = lie.so3_exp(self._rotvec(t))
+        a_w = self._acc(t)
+        acc_b = R.T @ (a_w - self.g_w)   # specific force
+        dR = self._drot(t)
+        omega_b = lie.vee(R.T @ dR)
+        return acc_b, omega_b
+
+    def imu_batch(self, t0: float, t1: float, rate: float, max_n: int,
+                  noise_g: float = 0.0, noise_a: float = 0.0, key=None):
+        """ImuBatch of measurements covering (t0, t1] at `rate` Hz, padded to
+        max_n with invalid entries. Midpoint-sampled."""
+        from orb_slam3_detailed_comments_kor_tpu.ops.imu import ImuBatch
+
+        n = int(round((t1 - t0) * rate))
+        n = min(n, max_n)
+        dt = (t1 - t0) / max(n, 1)
+        ts = t0 + (np.arange(max_n) + 0.5) * dt
+        accs, gyros = jax.vmap(lambda tt: self.imu_at(tt))(jnp.asarray(ts, jnp.float32))
+        if key is not None and (noise_g > 0 or noise_a > 0):
+            k1, k2 = jax.random.split(key)
+            gyros = gyros + noise_g * jnp.sqrt(rate) * jax.random.normal(k1, gyros.shape) / jnp.sqrt(rate) / jnp.sqrt(dt)
+            accs = accs + noise_a * jax.random.normal(k2, accs.shape) / jnp.sqrt(dt)
+        valid = jnp.arange(max_n) < n
+        return ImuBatch(
+            acc=accs, gyro=gyros,
+            dt=jnp.where(valid, dt, 0.0), valid=valid,
+        )
+
+
 def stereo_pair(
     params: jnp.ndarray,
     R_wc: jnp.ndarray,

@@ -1,0 +1,384 @@
+"""Visual-inertial bundle adjustment: 15-state keyframes + preintegration
+factors + bias random walks, with Schur landmark elimination.
+
+Replaces the reference's inertial optimizer family —
+``Optimizer::LocalInertialBA`` (``src/Optimizer.cc:3959-4686``),
+``FullInertialBA`` (``Optimizer.cc:397``) and the g2o types behind them
+(``EdgeInertial`` ``include/G2oTypes.h:492-541``, ``EdgeGyroRW/AccRW``
+``G2oTypes.h:632-702``).
+
+State per keyframe: [ξ_pose(6) | v(3) | bg(3) | ba(3)] = 15, where pose is
+T_bw (world→body) with left-multiplicative se(3) updates, velocity is in
+world frame.  Reprojection factors act on the pose block through the fixed
+camera-from-body extrinsic T_cb; inertial factors connect consecutive
+keyframes through the 9-D preintegration residual (Forster), whitened by the
+inverse preintegration covariance.
+
+TPU design: reprojection Jacobians are analytic (same blocks as ba.py);
+the ~K inertial edges use forward-mode autodiff (they are off the FLOP
+critical path).  Landmarks are Schur-eliminated; the reduced system is a
+dense [15K x 15K] solve — small enough to fuse the whole LM loop in one jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_detailed_comments_kor_tpu.optim import ba, factors
+from orb_slam3_detailed_comments_kor_tpu.optim.factors import Observations
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+
+class InertialEdges(NamedTuple):
+    """Preintegration factors between keyframe pairs (usually (k, k+1))."""
+
+    i: jnp.ndarray      # [E] int32 source kf
+    j: jnp.ndarray      # [E] int32 target kf
+    dt: jnp.ndarray     # [E]
+    dR: jnp.ndarray     # [E,3,3]
+    dV: jnp.ndarray     # [E,3]
+    dP: jnp.ndarray     # [E,3]
+    info9: jnp.ndarray  # [E,9,9] inverse preintegration covariance
+    JRg: jnp.ndarray    # [E,3,3]
+    JVg: jnp.ndarray
+    JVa: jnp.ndarray
+    JPg: jnp.ndarray
+    JPa: jnp.ndarray
+    bias_g0: jnp.ndarray  # [E,3] linearization biases
+    bias_a0: jnp.ndarray  # [E,3]
+    valid: jnp.ndarray  # [E] bool
+
+
+# Covariance floor applied when building edges: f32 normal equations cannot
+# survive the raw preintegration information (rotation info ~1e8 vs visual ~1
+# → condition number ~1e9; g2o survives because it runs in double). The
+# floor keeps the VI system's conditioning inside f32 range at a negligible
+# accuracy cost (the floor is far below visual noise propagated to pose).
+COV_FLOOR = (5e-4, 5e-4, 5e-4, 2e-3, 2e-3, 2e-3, 1e-3, 1e-3, 1e-3)
+WALK_INFO_CAP = 1e6
+
+
+def make_edges(pres, i_idx, j_idx, cov_floor=COV_FLOOR) -> "InertialEdges":
+    """Build InertialEdges from a list of Preintegrated (host-side helper)."""
+    import numpy as _np
+
+    E = len(pres)
+    floor = jnp.diag(jnp.asarray(cov_floor, jnp.float32) ** 2)
+    return InertialEdges(
+        i=jnp.asarray(i_idx, jnp.int32),
+        j=jnp.asarray(j_idx, jnp.int32),
+        dt=jnp.stack([p.dt for p in pres]),
+        dR=jnp.stack([p.dR for p in pres]),
+        dV=jnp.stack([p.dV for p in pres]),
+        dP=jnp.stack([p.dP for p in pres]),
+        info9=jnp.stack(
+            [jnp.linalg.inv(p.cov + floor) for p in pres]
+        ),
+        JRg=jnp.stack([p.JRg for p in pres]),
+        JVg=jnp.stack([p.JVg for p in pres]),
+        JVa=jnp.stack([p.JVa for p in pres]),
+        JPg=jnp.stack([p.JPg for p in pres]),
+        JPa=jnp.stack([p.JPa for p in pres]),
+        bias_g0=jnp.stack([p.bias_g for p in pres]),
+        bias_a0=jnp.stack([p.bias_a for p in pres]),
+        valid=jnp.ones((E,), bool),
+    )
+
+
+class VIState(NamedTuple):
+    R_bw: jnp.ndarray  # [K,3,3] world→body
+    t_bw: jnp.ndarray  # [K,3]
+    v: jnp.ndarray     # [K,3] world-frame velocity
+    bg: jnp.ndarray    # [K,3]
+    ba: jnp.ndarray    # [K,3]
+
+
+def inertial_residual(
+    R_bw_i, t_bw_i, v_i, bg_i, ba_i, R_bw_j, t_bw_j, v_j, edge_idx,
+    edges: InertialEdges, gravity,
+):
+    """9-D residual [r_R, r_v, r_p] for one edge (EdgeInertial::computeError,
+    ``src/G2oTypes.cc:517``)."""
+    e = edge_idx
+    dbg = bg_i - edges.bias_g0[e]
+    dba = ba_i - edges.bias_a0[e]
+    dR = edges.dR[e] @ lie.so3_exp(edges.JRg[e] @ dbg)
+    dV = edges.dV[e] + edges.JVg[e] @ dbg + edges.JVa[e] @ dba
+    dP = edges.dP[e] + edges.JPg[e] @ dbg + edges.JPa[e] @ dba
+    dt = edges.dt[e]
+    # R_wb_i = R_bw_i^T ; p_wb = −R_bw^T t_bw
+    p_i = -R_bw_i.T @ t_bw_i
+    p_j = -R_bw_j.T @ t_bw_j
+    r_R = lie.so3_log(dR.T @ R_bw_i @ R_bw_j.T)
+    r_v = R_bw_i @ (v_j - v_i - gravity * dt) - dV
+    r_p = R_bw_i @ (p_j - p_i - v_i * dt - 0.5 * gravity * dt * dt) - dP
+    return jnp.concatenate([r_R, r_v, r_p])
+
+
+def _edge_residual_from_tangent(x, Ri, ti, Rj, tj, vi, vj, bgi, bai, e, edges, gravity):
+    """Residual as a function of the 24-dim tangent perturbation
+    [ξi(6), vi(3), bgi(3), bai(3), ξj(6), vj(3)] — autodiff target."""
+    xi_i, dvi, dbg, dba, xi_j, dvj = (
+        x[0:6], x[6:9], x[9:12], x[12:15], x[15:21], x[21:24]
+    )
+    dRi, dti = lie.se3_exp(xi_i)
+    dRj, dtj = lie.se3_exp(xi_j)
+    R_i = dRi @ Ri
+    t_i = dRi @ ti + dti
+    R_j = dRj @ Rj
+    t_j = dRj @ tj + dtj
+    return inertial_residual(
+        R_i, t_i, vi + dvi, bgi + dbg, bai + dba, R_j, t_j, vj + dvj,
+        e, edges, gravity,
+    )
+
+
+def eval_inertial(st: VIState, edges: InertialEdges, gravity):
+    """Residuals [E,9] + Jacobians [E,9,24] for all edges via fwd autodiff."""
+    def one(e):
+        Ri, ti = st.R_bw[edges.i[e]], st.t_bw[edges.i[e]]
+        Rj, tj = st.R_bw[edges.j[e]], st.t_bw[edges.j[e]]
+        vi, vj = st.v[edges.i[e]], st.v[edges.j[e]]
+        bgi, bai = st.bg[edges.i[e]], st.ba[edges.i[e]]
+        f = lambda x: _edge_residual_from_tangent(
+            x, Ri, ti, Rj, tj, vi, vj, bgi, bai, e, edges, gravity
+        )
+        x0 = jnp.zeros(24)
+        return f(x0), jax.jacfwd(f)(x0)
+
+    r, J = jax.vmap(one)(jnp.arange(edges.i.shape[0]))
+    # invalid (padding) edges can sit at degenerate states whose Jacobian is
+    # non-finite; 0·NaN = NaN would defeat the validity mask downstream
+    ok = edges.valid[:, None]
+    r = jnp.where(ok, jnp.nan_to_num(r), 0.0)
+    J = jnp.where(ok[..., None], jnp.nan_to_num(J), 0.0)
+    return r, J
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def vi_bundle_adjust(
+    st: VIState,
+    X: jnp.ndarray,
+    obs: Observations,
+    edges: InertialEdges,
+    fixed_kf: jnp.ndarray,
+    fixed_point: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    R_cb: jnp.ndarray,
+    t_cb: jnp.ndarray,
+    bf: float,
+    gravity: jnp.ndarray,
+    gyro_walk_info: float,
+    acc_walk_info: float,
+    prior_info: jnp.ndarray = None,
+    iters: int = 10,
+    fix_scale: bool = True,
+):
+    """Joint VI-LM over K keyframes (15-dim each) + L landmarks.
+
+    obs.kf indexes into the K keyframes; reprojection goes through the fixed
+    extrinsic T_cb (camera-from-body).  Bias random-walk factors couple
+    consecutive edges' biases with the given walk information weights.
+    """
+    K = st.R_bw.shape[0]
+    L = X.shape[0]
+    P = 15
+    delta2 = jnp.where(obs.u_right >= 0, factors.CHI2_STEREO, factors.CHI2_MONO)
+
+    def camera_pose(stc):
+        """T_cw = T_cb ∘ T_bw."""
+        R_cw = R_cb @ stc.R_bw
+        t_cw = jnp.einsum("ij,kj->ki", R_cb, stc.t_bw) + t_cb
+        return R_cw, t_cw
+
+    def total_cost(stc, Xc):
+        R_cw, t_cw = camera_pose(stc)
+        r, _, dok = factors.reproj_residuals(R_cw, t_cw, Xc, obs, cam_params, bf)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        c_vis = jnp.sum(ba._robust_cost(chi2, delta2) * (obs.valid & dok))
+        r_in, _ = eval_inertial(stc, edges, gravity)
+        c_in = jnp.sum(
+            jnp.einsum("ei,eij,ej->e", r_in, edges.info9, r_in) * edges.valid
+        )
+        # bias random walk between consecutive keyframes on the edge list
+        dbg = stc.bg[edges.j] - stc.bg[edges.i]
+        dba = stc.ba[edges.j] - stc.ba[edges.i]
+        w_g = gyro_walk_info / jnp.maximum(edges.dt, 1e-3)
+        w_a = acc_walk_info / jnp.maximum(edges.dt, 1e-3)
+        c_rw = jnp.sum(
+            (w_g * jnp.sum(dbg * dbg, -1) + w_a * jnp.sum(dba * dba, -1))
+            * edges.valid
+        )
+        return c_vis + c_in + c_rw
+
+    def lm_iter(carry, _):
+        stc, Xc, lam, best_cost = carry
+        R_cw, t_cw = camera_pose(stc)
+
+        # ---- visual part: same blocks as ba.py, lifted into 15-dim ------
+        r, row_mask, depth_ok = factors.reproj_residuals(
+            R_cw, t_cw, Xc, obs, cam_params, bf
+        )
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        w_h = factors.huber_weight(chi2, delta2)
+        w = obs.inv_sigma2 * w_h * (obs.valid & depth_ok)
+        # Jacobian wrt body-pose tangent: ∂pc/∂ξ_b = R_cb [I | −hat(pb)]
+        Rk = stc.R_bw[obs.kf]
+        tk = stc.t_bw[obs.kf]
+        Xo = Xc[obs.lm]
+        pb = jnp.einsum("oij,oj->oi", Rk, Xo) + tk
+        pc = jnp.einsum("ij,oj->oi", R_cb, pb) + t_cb
+        _, Jproj = factors.project_with_jac(cam_params, pc, bf)
+        eye = jnp.broadcast_to(jnp.eye(3), (pb.shape[0], 3, 3))
+        dpb_dxi = jnp.concatenate([eye, -lie.hat(pb)], axis=-1)  # [O,3,6]
+        dpc_dxi = jnp.einsum("ij,ojk->oik", R_cb, dpb_dxi)
+        Jp = -jnp.einsum("oij,ojk->oik", Jproj, dpc_dxi) * row_mask[:, :, None]
+        Jl = -jnp.einsum("oij,jk,okl->oil", Jproj,
+                         R_cb, Rk) * row_mask[:, :, None]
+
+        free_kf = (~fixed_kf).astype(jnp.float32)
+        free_l = (~fixed_point).astype(jnp.float32)
+        Jp = Jp * free_kf[obs.kf][:, None, None]
+        Jl = Jl * free_l[obs.lm][:, None, None]
+
+        Hpp6 = jnp.zeros((K, 6, 6)).at[obs.kf].add(
+            w[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp)
+        )
+        Hll = jnp.zeros((L, 3, 3)).at[obs.lm].add(
+            w[:, None, None] * jnp.einsum("oij,oik->ojk", Jl, Jl)
+        )
+        bp6 = jnp.zeros((K, 6)).at[obs.kf].add(
+            -w[:, None] * jnp.einsum("oij,oi->oj", Jp, r)
+        )
+        bl = jnp.zeros((L, 3)).at[obs.lm].add(
+            -w[:, None] * jnp.einsum("oij,oi->oj", Jl, r)
+        )
+        Wpl = jnp.zeros((K, 6, L, 3)).at[obs.kf, :, obs.lm, :].add(
+            w[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jl)
+        )
+
+        Hll_d = Hll + lam * jnp.eye(3)[None] * (
+            jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0 + 1e-3
+        )
+        Hll_d = jnp.where(fixed_point[:, None, None], jnp.eye(3)[None], Hll_d)
+        Hll_inv = jnp.linalg.inv(Hll_d)
+        Y = jnp.einsum("kilm,lmn->kiln", Wpl, Hll_inv)
+        S6 = -jnp.einsum("kiln,pjln->kipj", Y, Wpl)
+        S6 = S6.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp6)
+        b6 = bp6 - jnp.einsum("kiln,ln->ki", Y, bl)
+
+        # ---- lift into the 15-dim system --------------------------------
+        S = jnp.zeros((K, P, K, P))
+        S = S.at[:, 0:6, :, 0:6].add(S6)
+        b = jnp.zeros((K, P))
+        b = b.at[:, 0:6].add(b6)
+
+        # ---- inertial edges (autodiff blocks) ---------------------------
+        r_in, J_in = eval_inertial(stc, edges, gravity)  # [E,9],[E,9,24]
+        w_edge = edges.valid.astype(jnp.float32)
+        # per-edge 24-dim layout: [ξi(6) vi(3) bgi(3) bai(3) ξj(6) vj(3)]
+        # map to state blocks: i-block rows 0:15 = [ξi vi bgi bai],
+        # j-block rows 15:21 ξj → j 0:6; 21:24 vj → j 6:9
+        # JtW[e] = Jᵀ·Info·J [24,24];  Jt_r[e] = −Jᵀ·Info·r [24]
+        JtW = jnp.einsum("eir,eis->ers", J_in * w_edge[:, None, None],
+                         jnp.einsum("eij,ejk->eik", edges.info9, J_in))
+        Jt_r = -jnp.einsum(
+            "eir,eij,ej->er", J_in * w_edge[:, None, None], edges.info9, r_in
+        )  # [E,24]
+
+        # index maps from the 24 local dims to (kf, state-dim)
+        local_kf_is_j = jnp.concatenate(
+            [jnp.zeros(15, jnp.int32), jnp.ones(9, jnp.int32)]
+        )  # 0 → i, 1 → j
+        local_dim = jnp.concatenate(
+            [jnp.arange(15), jnp.arange(6), jnp.arange(6, 9)]
+        )
+
+        kf_of = jnp.stack([edges.i, edges.j], axis=-1)  # [E,2]
+
+        def scatter_edge(S, b, e):
+            kf_sel = kf_of[e][local_kf_is_j]     # [24] global kf per dim
+            S = S.at[
+                kf_sel[:, None], local_dim[:, None],
+                kf_sel[None, :], local_dim[None, :],
+            ].add(JtW[e])
+            b = b.at[kf_sel, local_dim].add(Jt_r[e])
+            return S, b
+
+        def body(carry, e):
+            S, b = carry
+            S, b = scatter_edge(S, b, e)
+            return (S, b), None
+
+        (S, b), _ = jax.lax.scan(
+            body, (S, b), jnp.arange(edges.i.shape[0])
+        )
+
+        # ---- bias random-walk factors -----------------------------------
+        w_g = gyro_walk_info / jnp.maximum(edges.dt, 1e-3) * w_edge
+        w_a = acc_walk_info / jnp.maximum(edges.dt, 1e-3) * w_edge
+        dbg = stc.bg[edges.j] - stc.bg[edges.i]
+        dba = stc.ba[edges.j] - stc.ba[edges.i]
+
+        def rw_scatter(carry, e):
+            S, b = carry
+            for (dim0, wgt, db) in ((9, w_g, dbg), (12, w_a, dba)):
+                d = jnp.arange(3) + dim0
+                i_, j_ = edges.i[e], edges.j[e]
+                S = S.at[i_, d, i_, d].add(wgt[e])
+                S = S.at[j_, d, j_, d].add(wgt[e])
+                S = S.at[i_, d, j_, d].add(-wgt[e])
+                S = S.at[j_, d, i_, d].add(-wgt[e])
+                b = b.at[i_, d].add(wgt[e] * db[e])
+                b = b.at[j_, d].add(-wgt[e] * db[e])
+            return (S, b), None
+
+        (S, b), _ = jax.lax.scan(rw_scatter, (S, b), jnp.arange(edges.i.shape[0]))
+
+        # ---- damping, fixing, solve -------------------------------------
+        Sf = S.reshape(K * P, K * P)
+        diag = jnp.diag(Sf)
+        Sf = Sf + jnp.diag(lam * diag + 1e-6)
+        fp = jnp.repeat(fixed_kf, P)
+        Sf = jnp.where(fp[:, None] | fp[None, :], 0.0, Sf)
+        Sf = Sf + jnp.diag(fp.astype(jnp.float32))
+        b_flat = jnp.where(fp, 0.0, b.reshape(-1))
+        # Jacobi scaling: the mixed visual(+1)/inertial(~1e8) information
+        # spans >10 decades — raw f32 LU loses the solution. Normalize to
+        # unit diagonal, solve, unscale.
+        d = jnp.sqrt(jnp.clip(jnp.diag(Sf), 1e-10, None))
+        Sn = Sf / d[:, None] / d[None, :]
+        dx = (jnp.linalg.solve(Sn, b_flat / d) / d).reshape(K, P)
+
+        dl = jnp.einsum(
+            "lmn,ln->lm", Hll_inv,
+            bl - jnp.einsum("kiln,ki->ln", Wpl, dx[:, 0:6]),
+        ) * free_l[:, None]
+
+        dRb, dtb = lie.se3_exp(dx[:, 0:6])
+        st_new = VIState(
+            R_bw=dRb @ stc.R_bw,
+            t_bw=jnp.einsum("kij,kj->ki", dRb, stc.t_bw) + dtb,
+            v=stc.v + dx[:, 6:9],
+            bg=stc.bg + dx[:, 9:12],
+            ba=stc.ba + dx[:, 12:15],
+        )
+        X_new = Xc + dl
+        cost_new = total_cost(st_new, X_new)
+        accept = cost_new < best_cost
+        stc = jax.tree.map(lambda n, o: jnp.where(accept, n, o), st_new, stc)
+        Xc = jnp.where(accept, X_new, Xc)
+        lam = jnp.where(accept, lam * 0.33, lam * 4.0)
+        best_cost = jnp.where(accept, cost_new, best_cost)
+        return (stc, Xc, lam, best_cost), cost_new
+
+    cost0 = total_cost(st, X)
+    (st_f, X_f, _, _), costs = jax.lax.scan(
+        lm_iter, (st, X, jnp.float32(1e-4), cost0), None, length=iters
+    )
+    st_f = st_f._replace(R_bw=lie.project_to_so3(st_f.R_bw))
+    return st_f, X_f, jnp.concatenate([cost0[None], costs])

@@ -22,6 +22,18 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+
+def _safe_norm(w):
+    """Norm that is autodiff-safe at w=0 (where d|w|/dw is 0/0).
+
+    Returns (theta, theta_is_small); the sqrt sees a masked operand so its
+    tangent never produces NaN in the untaken branch.
+    """
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < 1e-12
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    return jnp.where(small, 0.0, theta), small
+
 def hat(w):
     """so(3) hat: [...,3] -> [...,3,3] skew-symmetric."""
     wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
@@ -69,9 +81,9 @@ def _sincc(x):
 def so3_exp(w):
     """Exponential map so(3) -> SO(3). w: [...,3] -> [...,3,3].
 
-    Rodrigues: R = I + sinc(θ)·W + cosc(θ)·W².
+    Rodrigues: R = I + sinc(θ)·W + cosc(θ)·W². Autodiff-safe at w=0.
     """
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta, _ = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     a = _sinc(theta)[..., None, None]
@@ -89,11 +101,18 @@ def so3_log(R):
     """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(θ)·axis
+    # arccos' = −1/√(1−x²) is ∞ at x=±1, which poisons autodiff even in the
+    # untaken branch — mask the arccos operand away from ±1 and use the
+    # first-order value w_skew directly for θ≈0.
+    tiny = cos_t > 1.0 - 1e-6
+    cos_safe = jnp.clip(jnp.where(tiny, 0.0, cos_t), -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.where(tiny, 0.0, jnp.arccos(cos_safe))
     # generic branch: θ/sinθ * w_skew
     sin_t = _sinc(theta)  # sin(θ)/θ
-    generic = w_skew / jnp.maximum(sin_t, _EPS)[..., None]
+    generic = jnp.where(
+        tiny[..., None], w_skew, w_skew / jnp.maximum(sin_t, _EPS)[..., None]
+    )
     # near-π branch: |w_i| = θ·sqrt((R_ii+1)/2), sign from w_skew (or +)
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis_abs = jnp.sqrt(jnp.maximum((diag + 1.0) * 0.5, 0.0))
@@ -126,7 +145,7 @@ def so3_left_jacobian(w):
 
     J_l = I + cosc(θ)·W + sincc(θ)·W².
     """
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta, _ = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -140,7 +159,7 @@ def so3_right_jacobian(w):
 
 def so3_right_jacobian_inv(w):
     """Inverse right Jacobian, Taylor-safe (reference InverseRightJacobianSO3)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta, _ = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     small = theta < 1e-4
@@ -230,7 +249,7 @@ def sim3_exp(xi):
     essential-graph optimizer in place of g2o's ``sim3.h``.
     """
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta, _ = _safe_norm(phi)
     s = jnp.exp(sigma)
     R = so3_exp(phi)
     W = hat(phi)
