@@ -59,6 +59,31 @@ def level_budgets(n_features: int, n_levels: int, scale: float) -> List[int]:
     return budgets
 
 
+def _subpixel_refine(raw_score: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Quadratic subpixel localization on the raw (pre-NMS) FAST response.
+
+    The reference (OpenCV FAST) keeps integer keypoints; the ±0.5 px/level
+    quantization is a dominant systematic error for BA on TPU f32, so we
+    refine each corner with a separable 3-point parabola. xy [K,2] int32 →
+    [K,2] float32 offsets in (-0.5, 0.5).
+    """
+    h, w = raw_score.shape
+    x = jnp.clip(xy[:, 0], 1, w - 2)
+    y = jnp.clip(xy[:, 1], 1, h - 2)
+    c = raw_score[y, x]
+    l = raw_score[y, x - 1]
+    r = raw_score[y, x + 1]
+    u = raw_score[y - 1, x]
+    d = raw_score[y + 1, x]
+
+    def para(m, p, c):
+        denom = m + p - 2.0 * c
+        off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (m - p) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    return jnp.stack([para(l, r, c), para(u, d, c)], axis=-1)
+
+
 def _orientation(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid angle per keypoint (IC_Angle analog).
 
@@ -146,13 +171,16 @@ def extract_orb(
         xy, resp, valid = sel_ops.select_keypoints(
             score, budget, cell=cell, border=BORDER
         )
+        # subpixel localization on the raw low-threshold response surface
+        raw = fast_ops.fast_score(lvl_img, min_th)
+        sub = _subpixel_refine(raw, xy)
         ang = _orientation(lvl_img, xy)
         blurred = pyr_ops.gaussian_blur(lvl_img, 7, 2.0)
         desc = _descriptors(blurred, xy, ang)
         lvl_scale = scale ** l
         outs.append(
             Features(
-                xy=xy.astype(jnp.float32) * lvl_scale,
+                xy=(xy.astype(jnp.float32) + sub) * lvl_scale,
                 response=resp,
                 angle=ang,
                 level=jnp.full((budget,), l, jnp.int32),

@@ -46,7 +46,8 @@ def inertial_optimization(
     g_mag: float = 9.81,
     iters: int = 20,
     estimate_scale: bool = False,
-    prior_bias_info: float = 1e2,
+    prior_g_info: float = 1e2,
+    prior_a_info: float = 1e5,
 ) -> VIInitResult:
     """Solve {bg, ba, v, gravity-dir[, scale]} with poses fixed.
 
@@ -101,10 +102,11 @@ def inertial_optimization(
     def cost_of(theta):
         r = residuals(theta)
         c = jnp.sum(jnp.einsum("ei,eij,ej->e", r, edges.info9, r))
-        # weak prior keeping biases near zero (reference priorG/priorA)
-        c = c + prior_bias_info * (
-            jnp.sum(theta[0:3] ** 2) + jnp.sum(theta[3:6] ** 2) * 1e-2
-        )
+        # bias priors (reference priorG=1e2, priorA=1e5 at first init:
+        # with little rotation, acc bias and gravity direction are nearly
+        # degenerate — the strong acc prior resolves it toward gravity)
+        c = c + prior_g_info * jnp.sum(theta[0:3] ** 2)
+        c = c + prior_a_info * jnp.sum(theta[3:6] ** 2)
         return c
 
     def lm_iter(carry, _):
@@ -114,9 +116,7 @@ def inertial_optimization(
         JtWJ = jnp.einsum("eid,eij,ejc->dc", J, edges.info9, J)
         JtWr = jnp.einsum("eid,eij,ej->d", J, edges.info9, r)
         # bias prior
-        Pm = jnp.zeros((D,)).at[0:3].set(prior_bias_info).at[3:6].set(
-            prior_bias_info * 1e-2
-        )
+        Pm = jnp.zeros((D,)).at[0:3].set(prior_g_info).at[3:6].set(prior_a_info)
         H = JtWJ + jnp.diag(Pm)
         bvec = -JtWr - Pm * theta
         d = jnp.sqrt(jnp.clip(jnp.diag(H), 1e-10, None))

@@ -1,0 +1,271 @@
+"""Inertial keyframe state + the VI local-mapping step.
+
+Host-facing glue between the tracking system and the inertial optimizers:
+keeps per-keyframe velocity/bias and the preintegration from the previous
+keyframe (the reference stores these on ``KeyFrame`` — ``KeyFrame.h:270-275``
+mpImuPreintegrated / prev-next chain), provides the IMU-initialization
+routine (``LocalMapping::InitializeIMU``, ``LocalMapping.cc:1566``) and the
+windowed local inertial BA (``LocalMapping.cc:185`` →
+``Optimizer::LocalInertialBA``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
+from orb_slam3_detailed_comments_kor_tpu.optim import factors, vi_ba, vi_init
+from orb_slam3_detailed_comments_kor_tpu.slam import map_state as msx
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+
+class InertialKF(NamedTuple):
+    """Per-keyframe inertial state, capacity K (parallel to MapState)."""
+
+    vel: jnp.ndarray      # [K,3] world velocity
+    bg: jnp.ndarray       # [K,3]
+    ba: jnp.ndarray       # [K,3]
+    # preintegration from the PREVIOUS keyframe to this one
+    pre_dt: jnp.ndarray   # [K]
+    pre_dR: jnp.ndarray   # [K,3,3]
+    pre_dV: jnp.ndarray   # [K,3]
+    pre_dP: jnp.ndarray   # [K,3]
+    pre_cov: jnp.ndarray  # [K,9,9]
+    pre_JRg: jnp.ndarray  # [K,3,3]
+    pre_JVg: jnp.ndarray
+    pre_JVa: jnp.ndarray
+    pre_JPg: jnp.ndarray
+    pre_JPa: jnp.ndarray
+    pre_bg0: jnp.ndarray  # [K,3] linearization bias
+    pre_ba0: jnp.ndarray
+    pre_valid: jnp.ndarray  # [K] bool (false for KF0 / after map reset)
+
+
+def empty_inertial(max_kf: int) -> InertialKF:
+    K = max_kf
+    return InertialKF(
+        vel=jnp.zeros((K, 3)),
+        bg=jnp.zeros((K, 3)),
+        ba=jnp.zeros((K, 3)),
+        pre_dt=jnp.zeros((K,)),
+        pre_dR=jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+        pre_dV=jnp.zeros((K, 3)),
+        pre_dP=jnp.zeros((K, 3)),
+        pre_cov=jnp.zeros((K, 9, 9)),
+        pre_JRg=jnp.zeros((K, 3, 3)),
+        pre_JVg=jnp.zeros((K, 3, 3)),
+        pre_JVa=jnp.zeros((K, 3, 3)),
+        pre_JPg=jnp.zeros((K, 3, 3)),
+        pre_JPa=jnp.zeros((K, 3, 3)),
+        pre_bg0=jnp.zeros((K, 3)),
+        pre_ba0=jnp.zeros((K, 3)),
+        pre_valid=jnp.zeros((K,), bool),
+    )
+
+
+def store_preintegration(
+    ikf: InertialKF, kf_idx, pre: imu_ops.Preintegrated, vel
+) -> InertialKF:
+    i = kf_idx
+    return ikf._replace(
+        vel=ikf.vel.at[i].set(vel),
+        pre_dt=ikf.pre_dt.at[i].set(pre.dt),
+        pre_dR=ikf.pre_dR.at[i].set(pre.dR),
+        pre_dV=ikf.pre_dV.at[i].set(pre.dV),
+        pre_dP=ikf.pre_dP.at[i].set(pre.dP),
+        pre_cov=ikf.pre_cov.at[i].set(pre.cov),
+        pre_JRg=ikf.pre_JRg.at[i].set(pre.JRg),
+        pre_JVg=ikf.pre_JVg.at[i].set(pre.JVg),
+        pre_JVa=ikf.pre_JVa.at[i].set(pre.JVa),
+        pre_JPg=ikf.pre_JPg.at[i].set(pre.JPg),
+        pre_JPa=ikf.pre_JPa.at[i].set(pre.JPa),
+        pre_bg0=ikf.pre_bg0.at[i].set(pre.bias_g),
+        pre_ba0=ikf.pre_ba0.at[i].set(pre.bias_a),
+        pre_valid=ikf.pre_valid.at[i].set(pre.dt > 1e-6),
+    )
+
+
+def edges_for_range(
+    ikf: InertialKF, first: int, last: int, cov_floor=vi_ba.COV_FLOOR
+) -> vi_ba.InertialEdges:
+    """Edges (k-1, k) for k in (first, last], using stored preintegrations.
+
+    Host-side (concrete first/last); info = inv(cov + floor²·I).
+    """
+    ks = jnp.arange(first + 1, last + 1)
+    floor = jnp.diag(jnp.asarray(cov_floor, jnp.float32) ** 2)
+    cov = ikf.pre_cov[ks] + floor[None]
+    return vi_ba.InertialEdges(
+        i=(ks - 1).astype(jnp.int32),
+        j=ks.astype(jnp.int32),
+        dt=ikf.pre_dt[ks],
+        dR=ikf.pre_dR[ks],
+        dV=ikf.pre_dV[ks],
+        dP=ikf.pre_dP[ks],
+        info9=jnp.linalg.inv(cov),
+        JRg=ikf.pre_JRg[ks],
+        JVg=ikf.pre_JVg[ks],
+        JVa=ikf.pre_JVa[ks],
+        JPg=ikf.pre_JPg[ks],
+        JPa=ikf.pre_JPa[ks],
+        bias_g0=ikf.pre_bg0[ks],
+        bias_a0=ikf.pre_ba0[ks],
+        valid=ikf.pre_valid[ks],
+    )
+
+
+def initialize_imu(
+    ms: msx.MapState,
+    ikf: InertialKF,
+    n_kf: int,
+    g0: jnp.ndarray,
+    R_cb: jnp.ndarray,
+    t_cb: jnp.ndarray,
+):
+    """IMU init over the whole KF chain (InitializeIMU semantics): solve
+    gravity/bias/velocities with the visual poses fixed, then write the
+    result into the inertial KF block.
+
+    Returns (ikf', gravity [3]).
+    """
+    edges = edges_for_range(ikf, 0, n_kf - 1)
+    # body poses from camera poses: T_bw = T_bc ∘ T_cw = inv(T_cb) ∘ T_cw
+    R_bc, t_bc = lie.se3_inverse(R_cb, t_cb)
+    R_bw = jnp.einsum("ij,kjl->kil", R_bc, ms.kf_R_cw[:n_kf])
+    t_bw = jnp.einsum("ij,kj->ki", R_bc, ms.kf_t_cw[:n_kf]) + t_bc
+    res = vi_init.inertial_optimization(
+        R_bw, t_bw, edges, g0, iters=25, prior_g_info=1e2, prior_a_info=1e5
+    )
+    ks = jnp.arange(n_kf)
+    ikf = ikf._replace(
+        vel=ikf.vel.at[ks].set(res.v),
+        bg=ikf.bg.at[ks].set(jnp.broadcast_to(res.bias_g, (n_kf, 3))),
+        ba=ikf.ba.at[ks].set(jnp.broadcast_to(res.bias_a, (n_kf, 3))),
+    )
+    return ikf, res.gravity
+
+
+@functools.partial(jax.jit, static_argnames=("window", "lm_cap", "iters", "scale"))
+def local_vi_ba_step(
+    ms: msx.MapState,
+    ikf: InertialKF,
+    center_kf: jnp.ndarray,
+    gravity: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    R_cb: jnp.ndarray,
+    t_cb: jnp.ndarray,
+    bf: float,
+    window: int = 10,
+    lm_cap: int = 2048,
+    iters: int = 6,
+    scale: float = 1.2,
+):
+    """Sliding-temporal-window local inertial BA (LocalInertialBA analog:
+    the reference uses the last 10-25 temporally-consecutive KFs,
+    ``Optimizer.cc:3963-3970``), with landmark compaction as in
+    ``local_ba_step``. Window = [center-window+1, center]."""
+    K, N, L = ms.K, ms.N, ms.L
+    # temporal window (clamped at 0); pad with duplicates marked invalid
+    offs = jnp.arange(window - 1, -1, -1)
+    win = center_kf - offs  # ascending order, may be negative
+    win_ok = (win >= 0) & ms.kf_valid[jnp.clip(win, 0)]
+    win = jnp.clip(win, 0)
+
+    # landmark compaction over the window (shared with local_ba_step logic)
+    obs_rows = ms.obs_lm[win]
+    feat_ok = ms.kf_feat_valid[win] & (obs_rows >= 0) & win_ok[:, None]
+    lm_hit = jnp.zeros((L,), bool).at[jnp.clip(obs_rows, 0)].max(
+        feat_ok, mode="drop"
+    ) & ms.lm_valid
+    local_of_global = jnp.where(lm_hit, jnp.cumsum(lm_hit) - 1, lm_cap)
+    overflow = local_of_global >= lm_cap
+    local_of_global = jnp.where(overflow, lm_cap, local_of_global)
+    global_of_local = jnp.full((lm_cap + 1,), 0, jnp.int32).at[
+        jnp.clip(local_of_global, 0, lm_cap)
+    ].set(jnp.arange(L, dtype=jnp.int32), mode="drop")
+    lm_used = jnp.zeros((lm_cap + 1,), bool).at[
+        jnp.clip(local_of_global, 0, lm_cap)
+    ].set(lm_hit & ~overflow, mode="drop")
+    X_local = ms.lm_pos[global_of_local[:lm_cap]]
+
+    lm_local = local_of_global[jnp.clip(obs_rows, 0)]
+    obs_valid = feat_ok & (lm_local < lm_cap)
+    kf_col = jnp.broadcast_to(
+        jnp.arange(window, dtype=jnp.int32)[:, None], (window, N)
+    )
+    inv_s2 = 1.0 / (scale ** (2.0 * ms.kf_level[win].astype(jnp.float32)))
+    obs = factors.Observations(
+        kf=kf_col.reshape(-1),
+        lm=jnp.clip(lm_local, 0, lm_cap - 1).reshape(-1),
+        uv=ms.kf_xy[win].reshape(-1, 2),
+        u_right=ms.kf_ur[win].reshape(-1),
+        inv_sigma2=inv_s2.reshape(-1),
+        valid=obs_valid.reshape(-1),
+    )
+
+    # inertial edges between consecutive window slots
+    ks = win[1:]
+    floor = jnp.diag(jnp.asarray(vi_ba.COV_FLOOR, jnp.float32) ** 2)
+    edges = vi_ba.InertialEdges(
+        i=jnp.arange(window - 1, dtype=jnp.int32),
+        j=jnp.arange(1, window, dtype=jnp.int32),
+        dt=ikf.pre_dt[ks],
+        dR=ikf.pre_dR[ks],
+        dV=ikf.pre_dV[ks],
+        dP=ikf.pre_dP[ks],
+        info9=jnp.linalg.inv(ikf.pre_cov[ks] + floor[None]),
+        JRg=ikf.pre_JRg[ks],
+        JVg=ikf.pre_JVg[ks],
+        JVa=ikf.pre_JVa[ks],
+        JPg=ikf.pre_JPg[ks],
+        JPa=ikf.pre_JPa[ks],
+        bias_g0=ikf.pre_bg0[ks],
+        bias_a0=ikf.pre_ba0[ks],
+        valid=ikf.pre_valid[ks] & win_ok[1:] & win_ok[:-1],
+    )
+
+    # body poses for the window
+    R_bc, t_bc = lie.se3_inverse(R_cb, t_cb)
+    R_bw = jnp.einsum("ij,kjl->kil", R_bc, ms.kf_R_cw[win])
+    t_bw = jnp.einsum("ij,kj->ki", R_bc, ms.kf_t_cw[win]) + t_bc
+    st = vi_ba.VIState(
+        R_bw=R_bw, t_bw=t_bw,
+        v=ikf.vel[win], bg=ikf.bg[win], ba=ikf.ba[win],
+    )
+    # fix the oldest valid keyframe in the window (temporal anchor)
+    first_ok = jnp.argmax(win_ok)  # first True (window ascending in time)
+    fixed = (jnp.arange(window) == first_ok) | ~win_ok
+
+    st_f, X_f, _ = vi_ba.vi_bundle_adjust(
+        st, X_local, obs, edges, fixed, ~lm_used[:lm_cap], cam_params,
+        R_cb, t_cb, bf, gravity,
+        gyro_walk_info=vi_ba.WALK_INFO_CAP,
+        acc_walk_info=vi_ba.WALK_INFO_CAP,
+        iters=iters,
+    )
+
+    # write back: camera poses T_cw = T_cb ∘ T_bw, inertial states, landmarks
+    R_cw_new = jnp.einsum("ij,kjl->kil", R_cb, st_f.R_bw)
+    t_cw_new = jnp.einsum("ij,kj->ki", R_cb, st_f.t_bw) + t_cb
+    upd = win_ok & ~fixed
+    ms = ms._replace(
+        kf_R_cw=ms.kf_R_cw.at[win].set(
+            jnp.where(upd[:, None, None], R_cw_new, ms.kf_R_cw[win])
+        ),
+        kf_t_cw=ms.kf_t_cw.at[win].set(
+            jnp.where(upd[:, None], t_cw_new, ms.kf_t_cw[win])
+        ),
+        lm_pos=ms.lm_pos.at[global_of_local[:lm_cap]].set(
+            jnp.where(lm_used[:lm_cap, None], X_f, X_local), mode="drop"
+        ),
+    )
+    ikf = ikf._replace(
+        vel=ikf.vel.at[win].set(jnp.where(upd[:, None], st_f.v, ikf.vel[win])),
+        bg=ikf.bg.at[win].set(jnp.where(upd[:, None], st_f.bg, ikf.bg[win])),
+        ba=ikf.ba.at[win].set(jnp.where(upd[:, None], st_f.ba, ikf.ba[win])),
+    )
+    return ms, ikf

@@ -63,6 +63,23 @@ class SlamSystem:
         # trajectory log: (time, R_cw, t_cw) on host
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
 
+        # --- inertial state (IMU_STEREO / IMU_MONOCULAR) ------------------
+        if config.is_inertial:
+            from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+            self.ikf = inertial.empty_inertial(cap.max_keyframes)
+            tbc = np.asarray(config.imu.tbc, dtype=np.float32).reshape(4, 4)
+            # config stores T_bc (camera→body); optimizers want T_cb
+            R_bc = jnp.asarray(tbc[:3, :3])
+            t_bc = jnp.asarray(tbc[:3, 3])
+            self.R_cb, self.t_cb = lie.se3_inverse(R_bc, t_bc)
+            self.imu_initialized = False
+            self.gravity = jnp.array([0.0, 9.81, 0.0])  # re-estimated at init
+            self._imu_buf: List[Tuple[float, np.ndarray, np.ndarray]] = []
+            self._last_frame_time: Optional[float] = None
+            self._last_kf_time: Optional[float] = None
+            self.frame_vel = jnp.zeros(3)
+
     # ------------------------------------------------------------------
     @property
     def baseline(self) -> float:
@@ -109,11 +126,19 @@ class SlamSystem:
         self.state = TrackingState.OK
         self.inliers_at_last_kf = n_depth
 
-    def _track(self, img_l, img_r, t: float) -> None:
+    def _track(self, img_l, img_r, t: float, override_pred=None) -> None:
         cam = self.cfg.camera
+        if override_pred is not None:
+            # IMU-predicted pose: feed it as "last pose" with no velocity so
+            # the fused step starts the search there (PredictStateIMU path)
+            R_last, t_last = override_pred
+            has_vel = jnp.bool_(False)
+        else:
+            R_last, t_last = self.R_cw, self.t_cw
+            has_vel = jnp.bool_(self.has_velocity)
         ms, frame, tr, R_new, t_new, vel_R, vel_t, _ = tracking.full_frame_step(
-            self.ms, img_l, img_r, self.R_cw, self.t_cw,
-            self.vel_R, self.vel_t, jnp.bool_(self.has_velocity),
+            self.ms, img_l, img_r, R_last, t_last,
+            self.vel_R, self.vel_t, has_vel,
             self.cam_params,
             bf=cam.bf, w=cam.width, h=cam.height,
             scale=self.cfg.orb.scale_factor,
@@ -145,8 +170,152 @@ class SlamSystem:
         self.frames_since_kf += 1
 
         if self._need_new_keyframe(frame, n_inliers):
-            self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
+            if self.cfg.is_inertial and self.n_kf > 0:
+                self._insert_keyframe_inertial(frame, t, lm_feat=tr.lm_feat)
+            else:
+                self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
             self.inliers_at_last_kf = n_inliers
+
+    # ------------------------------------------------------------------
+    # Stereo-inertial mode (System::TrackStereo with vImuMeas analog)
+    # ------------------------------------------------------------------
+    def grab_imu(self, t: float, acc, gyro) -> None:
+        """Queue one IMU sample (Tracking::GrabImuData, ``Tracking.cc:1445``)."""
+        self._imu_buf.append((t, np.asarray(acc), np.asarray(gyro)))
+
+    def _preintegrate_since_last_kf(self):
+        """Integrate the queued IMU window at the current bias estimate."""
+        from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
+
+        cap = self.cfg.capacity.max_imu_per_frame * max(
+            self.cfg.tracking.max_frames_between_kf, 1
+        )
+        buf = self._imu_buf[:cap]
+        n = len(buf)
+        acc = np.zeros((cap, 3), np.float32)
+        gyro = np.zeros((cap, 3), np.float32)
+        dt = np.zeros((cap,), np.float32)
+        prev_t = self._last_kf_time
+        for i, (t, a, g) in enumerate(buf):
+            acc[i] = a
+            gyro[i] = g
+            dt[i] = max(t - prev_t, 0.0)
+            prev_t = t
+        batch = imu_ops.ImuBatch(
+            acc=jnp.asarray(acc), gyro=jnp.asarray(gyro), dt=jnp.asarray(dt),
+            valid=jnp.arange(cap) < n,
+        )
+        kf_idx = max(self.n_kf - 1, 0)
+        bg = self.ikf.bg[kf_idx]
+        ba = self.ikf.ba[kf_idx]
+        imu_cfg = self.cfg.imu
+        sg = imu_cfg.noise_gyro * np.sqrt(imu_cfg.frequency)
+        sa = imu_cfg.noise_acc * np.sqrt(imu_cfg.frequency)
+        return imu_ops.integrate(batch, bg, ba, float(sg), float(sa))
+
+    def track_stereo_inertial(self, img_l, img_r, t: float, imu_samples=None) -> int:
+        """Feed a stereo pair + the IMU samples since the previous frame.
+
+        imu_samples: iterable of (t, acc[3], gyro[3]).
+        """
+        from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
+        from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+        for s in imu_samples or []:
+            self.grab_imu(*s)
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            st = self.track_stereo(img_l, img_r, t)
+            if self.state == TrackingState.OK:  # first KF was created
+                self._last_kf_time = t
+                self._imu_buf.clear()
+            self._last_frame_time = t
+            return st
+
+        # IMU prediction for the tracking front-end
+        pre = self._preintegrate_since_last_kf()
+        if self.imu_initialized:
+            kf_idx = self.n_kf - 1
+            R_bc, t_bc = lie.se3_inverse(self.R_cb, self.t_cb)
+            R_bw_kf = R_bc @ self.ms.kf_R_cw[kf_idx]
+            t_bw_kf = R_bc @ self.ms.kf_t_cw[kf_idx] + t_bc
+            R_wb = R_bw_kf.T
+            p_wb = -R_bw_kf.T @ t_bw_kf
+            R2, p2, v2 = imu_ops.predict_state(
+                pre, R_wb, p_wb, self.ikf.vel[kf_idx],
+                self.ikf.bg[kf_idx], self.ikf.ba[kf_idx], self.gravity,
+            )
+            # predicted camera pose: T_cw = T_cb ∘ T_bw,  T_bw = inv(T_wb)
+            R_bw2 = R2.T
+            t_bw2 = -R2.T @ p2
+            R_pred, t_pred = lie.se3_compose(self.R_cb, self.t_cb, R_bw2, t_bw2)
+            self._track(jnp.asarray(img_l, jnp.float32),
+                        jnp.asarray(img_r, jnp.float32), t,
+                        override_pred=(R_pred, t_pred))
+            self.frame_vel = v2
+        else:
+            self._track(jnp.asarray(img_l, jnp.float32),
+                        jnp.asarray(img_r, jnp.float32), t)
+
+        self.n_frames += 1
+        self._last_frame_time = t
+        self.trajectory.append((t, self.R_cw, self.t_cw))
+        return self.state
+
+    def _insert_keyframe_inertial(self, frame, t: float, lm_feat) -> None:
+        """KF insertion + preintegration storage + VI init / local VI-BA."""
+        from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+        pre = self._preintegrate_since_last_kf()
+        kf_idx = self.n_kf  # index the KF will get
+        self._insert_keyframe_visual_only(frame, t, lm_feat)
+        # velocity estimate: prediction if initialized, else finite diff
+        if self.imu_initialized:
+            vel = self.frame_vel
+        else:
+            vel = jnp.zeros(3)
+        self.ikf = inertial.store_preintegration(self.ikf, kf_idx, pre, vel)
+        # carry bias forward
+        if kf_idx > 0:
+            self.ikf = self.ikf._replace(
+                bg=self.ikf.bg.at[kf_idx].set(self.ikf.bg[kf_idx - 1]),
+                ba=self.ikf.ba.at[kf_idx].set(self.ikf.ba[kf_idx - 1]),
+            )
+        self._imu_buf.clear()
+        self._last_kf_time = t
+
+        cam = self.cfg.camera
+        if not self.imu_initialized:
+            span = float(self.ms.kf_time[self.n_kf - 1] - self.ms.kf_time[0])
+            if self.n_kf >= 8 and span >= 1.0:
+                self.ikf, self.gravity = inertial.initialize_imu(
+                    self.ms, self.ikf, self.n_kf,
+                    self.gravity, self.R_cb, self.t_cb,
+                )
+                self.imu_initialized = True
+                self._init_kf_count = self.n_kf
+            elif self.n_kf >= 2:
+                self.ms = tracking.local_ba_step(
+                    self.ms, jnp.int32(self.n_kf - 1), self.cam_params, cam.bf,
+                    window=min(8, self.cfg.capacity.max_local_kfs),
+                    lm_cap=self.cfg.capacity.max_local_landmarks,
+                )
+                self.ms = tracking.cull_landmarks(self.ms)
+        else:
+            self.ms, self.ikf = inertial.local_vi_ba_step(
+                self.ms, self.ikf, jnp.int32(self.n_kf - 1), self.gravity,
+                self.cam_params, self.R_cb, self.t_cb, cam.bf,
+                window=10, lm_cap=self.cfg.capacity.max_local_landmarks,
+            )
+            self.ms = tracking.cull_landmarks(self.ms)
+            # VIBA1/VIBA2 schedule (LocalMapping.cc:238-295): re-estimate
+            # gravity/bias/velocities once more map+motion has accumulated —
+            # the first init inherits the pre-IMU visual drift
+            if self.n_kf in (self._init_kf_count + 6, self._init_kf_count + 14):
+                self.ikf, self.gravity = inertial.initialize_imu(
+                    self.ms, self.ikf, self.n_kf,
+                    self.gravity, self.R_cb, self.t_cb,
+                )
 
     def _need_new_keyframe(self, frame: frontend.Frame, n_inliers: int) -> bool:
         """KF decision (``Tracking.cc:3078-3273``, simplified visual c1/c2):
@@ -161,7 +330,10 @@ class SlamSystem:
         c3 = n_inliers < 2 * tc.min_inliers_local_map  # tracking getting thin
         return c1 or c2 or c3
 
-    def _insert_keyframe(self, frame: frontend.Frame, t: float, lm_feat) -> None:
+    def _insert_keyframe_visual_only(
+        self, frame: frontend.Frame, t: float, lm_feat
+    ) -> None:
+        """make_keyframe + bookkeeping, no mapping step."""
         cam = self.cfg.camera
         kf_idx = jnp.int32(self.n_kf)
         if lm_feat is None:
@@ -178,7 +350,12 @@ class SlamSystem:
         )
         self.n_kf += 1
         self.frames_since_kf = 0
+
+    def _insert_keyframe(self, frame: frontend.Frame, t: float, lm_feat) -> None:
+        cam = self.cfg.camera
+        self._insert_keyframe_visual_only(frame, t, lm_feat)
         # synchronous local mapping (LocalMapping::Run essentials)
+        kf_idx = jnp.int32(self.n_kf - 1)
         if self.n_kf >= 2:
             self.ms = tracking.local_ba_step(
                 self.ms, kf_idx, self.cam_params, cam.bf,

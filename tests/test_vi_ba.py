@@ -119,8 +119,11 @@ class TestVIBA:
         st, X, obs, edges = build_vi_problem(bias_g=bg, bias_a=ba_true, n_kf=10)
         # gravity guess 15 degrees off
         g_guess = lie.so3_exp(jnp.array([0.26, 0.0, 0.05])) @ G
+        # weak priors here: this test deliberately injects large true
+        # biases to verify estimability given strong rotation excitation
         res = vi_init.inertial_optimization(
-            st.R_bw, st.t_bw, edges, g_guess, iters=25, prior_bias_info=1.0
+            st.R_bw, st.t_bw, edges, g_guess, iters=25,
+            prior_g_info=1.0, prior_a_info=1.0,
         )
         np.testing.assert_allclose(np.asarray(res.bias_g), np.asarray(bg), atol=1e-3)
         np.testing.assert_allclose(np.asarray(res.bias_a), np.asarray(ba_true), atol=3e-2)
