@@ -88,20 +88,23 @@ class Scene(NamedTuple):
 
 
 def default_scene() -> Scene:
-    """Box room: wall z=5, floor y=+1.5, ceiling y=−1.5, walls x=±3."""
+    """Closed box room: walls z=5/z=−4, floor y=+1.5, ceiling y=−1.5,
+    side walls x=±(4/2.5) — every heading sees texture."""
     return Scene(
         normals=jnp.array(
             [
                 [0.0, 0.0, 1.0],   # front wall
+                [0.0, 0.0, -1.0],  # back wall
                 [0.0, 1.0, 0.0],   # floor
                 [0.0, -1.0, 0.0],  # ceiling
                 [1.0, 0.0, 0.0],   # right wall
                 [-1.0, 0.0, 0.0],  # left wall
             ]
         ),
-        ds=jnp.array([5.0, 1.5, 1.5, 4.0, 2.5]),
+        ds=jnp.array([5.0, 4.0, 1.5, 1.5, 4.0, 2.5]),
         u_axes=jnp.array(
             [
+                [1.0, 0.0, 0.0],
                 [1.0, 0.0, 0.0],
                 [1.0, 0.0, 0.0],
                 [1.0, 0.0, 0.0],
@@ -112,6 +115,7 @@ def default_scene() -> Scene:
         v_axes=jnp.array(
             [
                 [0.0, 1.0, 0.0],
+                [0.0, 1.0, 0.0],
                 [0.0, 0.0, 1.0],
                 [0.0, 0.0, 1.0],
                 [0.0, 1.0, 0.0],
@@ -119,7 +123,8 @@ def default_scene() -> Scene:
             ]
         ),
         offsets=jnp.array(
-            [[0.0, 0.0], [37.0, 11.0], [91.0, 53.0], [140.0, 7.0], [200.0, 170.0]]
+            [[0.0, 0.0], [310.0, 95.0], [37.0, 11.0], [91.0, 53.0],
+             [140.0, 7.0], [200.0, 170.0]]
         ),
     )
 
@@ -196,6 +201,15 @@ def make_trajectory(
             yaw = 0.003 * i
             R = np.asarray(lie.so3_exp(jnp.array([0.0, yaw, 0.0])))
             t = np.array([i * speed, 0.0, 0.005 * i])
+        elif motion == "outback":
+            half = n_frames // 2
+            x = speed * i if i < half else speed * (2 * half - i)
+            R = np.eye(3)
+            t = np.array([x, 0.015 * np.sin(i * 0.35), 0.0])
+        elif motion == "spin":
+            yaw = 2 * np.pi * i / n_frames
+            R = np.asarray(lie.so3_exp(jnp.array([0.0, yaw, 0.0])))
+            t = np.array([0.03 * np.sin(yaw), 0.01 * np.sin(3 * yaw), 0.03 - 0.03 * np.cos(yaw)])
         elif motion == "orbit":
             th = 2 * np.pi * i / n_frames
             r0 = 1.0

@@ -269,7 +269,12 @@ def bundle_adjust(
         Sf = Sf + jnp.diag(fp.astype(jnp.float32))
         b_flat = jnp.where(fp, 0.0, b_s.reshape(-1))
 
-        dp = jax.scipy.linalg.solve(Sf, b_flat, assume_a="pos").reshape(K, 6)
+        # LU with Jacobi scaling, NOT Cholesky: a marginally-non-PD f32
+        # system makes Cholesky emit NaN, and NaN-poisoned landmarks mask
+        # themselves out of the cost via the depth gate → silently accepted
+        d = jnp.sqrt(jnp.clip(jnp.diag(Sf), 1e-10, None))
+        dp = (jnp.linalg.solve(Sf / d[:, None] / d[None, :], b_flat / d) / d
+              ).reshape(K, 6)
         dl = jnp.einsum(
             "lmn,ln->lm", Hll_inv, bl - jnp.einsum("kiln,ki->ln", Wpl, dp)
         )
@@ -280,7 +285,10 @@ def bundle_adjust(
         t_new = jnp.einsum("kij,kj->ki", dR, t) + dt
         X_new = Xc + dl
         cost_new, _ = total_cost(R_new, t_new, X_new)
-        accept = cost_new < best_cost
+        accept = (
+            (cost_new < best_cost)
+            & jnp.isfinite(dp).all() & jnp.isfinite(dl).all()
+        )
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         Xc = jnp.where(accept, X_new, Xc)

@@ -369,7 +369,10 @@ def vi_bundle_adjust(
         )
         X_new = Xc + dl
         cost_new = total_cost(st_new, X_new)
-        accept = cost_new < best_cost
+        accept = (
+            (cost_new < best_cost)
+            & jnp.isfinite(dx).all() & jnp.isfinite(dl).all()
+        )
         stc = jax.tree.map(lambda n, o: jnp.where(accept, n, o), st_new, stc)
         Xc = jnp.where(accept, X_new, Xc)
         lam = jnp.where(accept, lam * 0.33, lam * 4.0)

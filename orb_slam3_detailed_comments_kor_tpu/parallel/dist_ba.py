@@ -140,7 +140,9 @@ def distributed_bundle_adjust(
             Sf = jnp.where(fp[:, None] | fp[None, :], 0.0, Sf)
             Sf = Sf + jnp.diag(fp.astype(jnp.float32))
             b_flat = jnp.where(fp, 0.0, b_s.reshape(-1))
-            dp = jax.scipy.linalg.solve(Sf, b_flat, assume_a="pos").reshape(K, 6)
+            d = jnp.sqrt(jnp.clip(jnp.diag(Sf), 1e-10, None))
+            dp = (jnp.linalg.solve(Sf / d[:, None] / d[None, :], b_flat / d)
+                  / d).reshape(K, 6)
             dl = jnp.einsum(
                 "lmn,ln->lm", Hll_inv,
                 bl - jnp.einsum("kiln,ki->ln", Wpl, dp),
@@ -150,7 +152,10 @@ def distributed_bundle_adjust(
             t_new = jnp.einsum("kij,kj->ki", dR, t) + dt
             X_new = Xc + dl
             cost_new = total_cost(R_new, t_new, X_new)
-            accept = cost_new < best_cost
+            accept = (
+                (cost_new < best_cost)
+                & jnp.isfinite(dp).all() & jnp.isfinite(dl).all()
+            )
             R = jnp.where(accept, R_new, R)
             t = jnp.where(accept, t_new, t)
             Xc = jnp.where(accept, X_new, Xc)

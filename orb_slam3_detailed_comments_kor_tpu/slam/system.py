@@ -63,6 +63,19 @@ class SlamSystem:
         # trajectory log: (time, R_cw, t_cw) on host
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
 
+        # --- loop closing -------------------------------------------------
+        from orb_slam3_detailed_comments_kor_tpu.slam.loop_closing import LoopCloser
+
+        self.loop_closer = LoopCloser(
+            max_kf=cap.max_keyframes,
+            vocab_k=config.capacity.vocab_branching,
+            vocab_depth=min(config.capacity.vocab_depth, 3),
+        )
+        self.enable_loop_closing = True
+        self._loop_key = jnp.asarray(
+            np.frombuffer(b"loopseed", dtype=np.uint32)[:2]
+        )
+
         # --- inertial state (IMU_STEREO / IMU_MONOCULAR) ------------------
         if config.is_inertial:
             from orb_slam3_detailed_comments_kor_tpu.slam import inertial
@@ -316,6 +329,7 @@ class SlamSystem:
                     self.ms, self.ikf, self.n_kf,
                     self.gravity, self.R_cb, self.t_cb,
                 )
+            self._maybe_close_loop()
 
     def _need_new_keyframe(self, frame: frontend.Frame, n_inliers: int) -> bool:
         """KF decision (``Tracking.cc:3078-3273``, simplified visual c1/c2):
@@ -350,6 +364,36 @@ class SlamSystem:
         )
         self.n_kf += 1
         self.frames_since_kf = 0
+        if self.enable_loop_closing:
+            self.loop_closer.add_keyframe(int(kf_idx), frame.desc, frame.valid)
+
+    def _maybe_close_loop(self) -> None:
+        """Detect + verify + correct (LoopClosing::Run per-KF body)."""
+        if not self.enable_loop_closing:
+            return
+        import jax as _jax
+
+        kf_idx = self.n_kf - 1
+        cand = self.loop_closer.detect(kf_idx, self.n_kf)
+        if cand < 0:
+            return
+        self._loop_key, sub = _jax.random.split(self._loop_key)
+        ok, R_d, t_d = self.loop_closer.verify(self.ms, kf_idx, cand, sub)
+        if not ok:
+            return
+        R_kf_old = self.ms.kf_R_cw[kf_idx]
+        t_kf_old = self.ms.kf_t_cw[kf_idx]
+        self.ms = self.loop_closer.correct(
+            self.ms, self.n_kf, kf_idx, cand, R_d, t_d,
+            self.cam_params, self.cfg.camera.bf,
+        )
+        # re-base the live tracking pose onto the corrected map:
+        # T_track' = T_track ∘ T_kf_old⁻¹ ∘ T_kf_new
+        Ri, ti = lie.se3_inverse(R_kf_old, t_kf_old)
+        Rm, tm = lie.se3_compose(Ri, ti, self.ms.kf_R_cw[kf_idx],
+                                 self.ms.kf_t_cw[kf_idx])
+        self.R_cw, self.t_cw = lie.se3_compose(self.R_cw, self.t_cw, Rm, tm)
+        self.has_velocity = False
 
     def _insert_keyframe(self, frame: frontend.Frame, t: float, lm_feat) -> None:
         cam = self.cfg.camera
@@ -363,6 +407,7 @@ class SlamSystem:
                 lm_cap=self.cfg.capacity.max_local_landmarks,
             )
             self.ms = tracking.cull_landmarks(self.ms)
+            self._maybe_close_loop()
             # NOTE: the live tracking pose is deliberately NOT overwritten by
             # the BA result — the tracker re-aligns to the refined map at the
             # next frame's optimization (reference behavior: Tracking owns its

@@ -376,11 +376,20 @@ def local_ba_step(
             jnp.where(lm_used[:lm_cap, None], res.X, X_local), mode="drop"
         ),
     )
-    # drop observations BA marked as outliers (reference erases those edges)
-    outlier = obs.valid & ~res.inlier
-    new_rows = jnp.where(
-        outlier.reshape(window, N), -1, obs_rows
+    # Drop observations BA marked as clear outliers. Two safeguards vs the
+    # reference's strict post-BA chi2 erase (Optimizer.cc LocalBA epilogue):
+    # (1) only drop at 4x the chi2 gate — our fixed-iteration f32 LM may not
+    #     have fully converged, and a strict gate can erase inliers;
+    # (2) never let a keyframe drop below a survival floor of observations
+    #     (an obs-less keyframe floats free and corrupts later windows).
+    delta2 = jnp.where(obs.u_right >= 0, 7.815, 5.991)
+    egregious = obs.valid & (res.chi2 > 4.0 * delta2)
+    egregious2d = egregious.reshape(window, N)
+    would_keep = jnp.sum(
+        (obs.valid.reshape(window, N) & ~egregious2d), axis=1
     )
+    allow_drop = (would_keep >= 30)[:, None]
+    new_rows = jnp.where(egregious2d & allow_drop, -1, obs_rows)
     ms = ms._replace(obs_lm=ms.obs_lm.at[win].set(
         jnp.where(win_valid[:, None], new_rows, obs_rows)
     ))
