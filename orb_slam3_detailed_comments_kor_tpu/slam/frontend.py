@@ -76,6 +76,43 @@ def process_stereo(
 @functools.partial(
     jax.jit, static_argnames=("n_features", "n_levels", "scale", "cell")
 )
+def process_rgbd(
+    img: jnp.ndarray,
+    depth_map: jnp.ndarray,
+    bf: float,
+    n_features: int = 1200,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    cell: int = 32,
+) -> Frame:
+    """RGB-D front-end (Frame RGB-D ctor, ``src/Frame.cc:201``): ORB on the
+    gray image, depth sampled at each keypoint, synthetic right-u
+    u_r = u − bf/d (ComputeStereoFromRGBD semantics) so the whole stereo
+    pipeline downstream is reused unchanged."""
+    f = orb_ops.extract_orb(
+        img, n_features=n_features, n_levels=n_levels, scale=scale, cell=cell
+    )
+    h, w = depth_map.shape
+    xi = jnp.clip(jnp.round(f.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(f.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    d = depth_map[yi, xi]
+    ok = f.valid & (d > 0.05)
+    u_right = jnp.where(ok, f.xy[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
+    return Frame(
+        xy=f.xy,
+        level=f.level,
+        angle=f.angle,
+        desc=f.desc,
+        desc_packed=orb_ops.pack_descriptors(f.desc),
+        valid=f.valid,
+        u_right=u_right,
+        depth=jnp.where(ok, d, -1.0),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_features", "n_levels", "scale", "cell")
+)
 def process_mono(
     img: jnp.ndarray,
     n_features: int = 1200,

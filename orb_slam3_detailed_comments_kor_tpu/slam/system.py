@@ -62,6 +62,8 @@ class SlamSystem:
         self.n_lost_frames = 0
         # trajectory log: (time, R_cw, t_cw) on host
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        # Atlas: shelved maps (Atlas::CreateNewMap stores the old map)
+        self.atlas_maps: List[dict] = []
 
         # --- loop closing -------------------------------------------------
         from orb_slam3_detailed_comments_kor_tpu.slam.loop_closing import LoopCloser
@@ -158,21 +160,14 @@ class SlamSystem:
             n_levels=self.cfg.orb.n_levels,
             n_features=self.cfg.orb.n_features,
             cell=self.cfg.orb.cell_size,
-            min_inliers=self.cfg.tracking.min_inliers_track,
+            min_inliers=self.cfg.tracking.min_inliers_local_map,
         )
         self.ms = ms
         n_inliers = int(tr.n_inliers)
 
-        if n_inliers < self.cfg.tracking.min_inliers_track:
-            # lost: keep last pose; recovery (reloc / new map) comes with the
-            # Atlas + place-recognition milestones
-            self.n_lost_frames += 1
-            self.state = (
-                TrackingState.RECENTLY_LOST
-                if self.n_lost_frames < 20
-                else TrackingState.LOST
-            )
-            self.has_velocity = False
+        if n_inliers < self.cfg.tracking.min_inliers_local_map:
+            # lost path: reloc → degrade → Atlas (Tracking.cc:1876-1948)
+            self._handle_lost(frame)
             return
 
         self.n_lost_frames = 0
@@ -187,6 +182,275 @@ class SlamSystem:
                 self._insert_keyframe_inertial(frame, t, lm_feat=tr.lm_feat)
             else:
                 self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
+            self.inliers_at_last_kf = n_inliers
+
+
+    # ------------------------------------------------------------------
+    # Atlas (multi-map) — Tracking::CreateMapInAtlas / ResetActiveMap
+    # ------------------------------------------------------------------
+    def _handle_lost(self, frame) -> None:
+        """Shared lost-path: relocalize, else degrade; on hard loss either
+        reset a young map or shelve a mature one and start fresh
+        (``Tracking.cc:1930-1948``, ``Tracking.cc:2609``)."""
+        if self._relocalize(frame):
+            self.n_lost_frames = 0
+            self.state = TrackingState.OK
+            return
+        self.n_lost_frames += 1
+        if self.n_lost_frames < 20:
+            self.state = TrackingState.RECENTLY_LOST
+            self.has_velocity = False
+            return
+        self.state = TrackingState.LOST
+        self.has_velocity = False
+        if self.n_lost_frames == 20:  # act once on the transition
+            if self.n_kf >= 10:
+                self._create_map_in_atlas()
+            else:
+                self._reset_active_map()
+
+    def _create_map_in_atlas(self) -> None:
+        """Shelve the active map and start a fresh one (Atlas elasticity).
+        Shelved maps remain available for later merge (map merging across
+        Atlas maps is scheduled work — the reference merges via place
+        recognition, LoopClosing.cc:1288)."""
+        from orb_slam3_detailed_comments_kor_tpu.slam.loop_closing import LoopCloser
+
+        self.atlas_maps.append(
+            {
+                "ms": self.ms,
+                "n_kf": self.n_kf,
+                "loop_closer": self.loop_closer,
+                "traj_end": len(self.trajectory),
+            }
+        )
+        self._reset_active_map()
+
+    def _reset_active_map(self) -> None:
+        from orb_slam3_detailed_comments_kor_tpu.slam.loop_closing import LoopCloser
+
+        cap = self.cfg.capacity
+        self.ms = msx.empty_map(cap.max_keyframes, self.n_feat, cap.max_landmarks)
+        self.loop_closer = LoopCloser(
+            max_kf=cap.max_keyframes,
+            vocab_k=cap.vocab_branching,
+            vocab_depth=min(cap.vocab_depth, 3),
+        )
+        self.n_kf = 0
+        self.frames_since_kf = 0
+        self.inliers_at_last_kf = 0
+        self.n_lost_frames = 0
+        self.state = TrackingState.NOT_INITIALIZED
+        self.has_velocity = False
+        if self.cfg.is_inertial:
+            from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+            self.ikf = inertial.empty_inertial(cap.max_keyframes)
+            self.imu_initialized = False
+            self._imu_buf.clear()
+            self._last_kf_time = None
+        if hasattr(self, "_mono_ref"):
+            self._mono_ref = None
+
+    def _relocalize(self, frame: frontend.Frame) -> bool:
+        """BoW candidate + PnP RANSAC recovery (Tracking::Relocalization:
+        DetectRelocalizationCandidates → SearchByBoW → PnP → pose opt)."""
+        import jax as _jax
+
+        from orb_slam3_detailed_comments_kor_tpu.models import vocabulary as voc
+        from orb_slam3_detailed_comments_kor_tpu.ops import (
+            matching, orb as orb_ops, ransac,
+        )
+
+        lc = self.loop_closer
+        if lc.vocab is None or self.n_kf < 1:
+            return False
+        bow = voc.bow_vector(
+            lc.vocab, voc.transform(lc.vocab, frame.desc, frame.valid),
+            frame.valid,
+        )
+        scores = np.array(
+            voc.score_against_database(bow, lc.bow_db[: self.n_kf])
+        )
+        cand = int(scores.argmax())
+        if scores[cand] < 0.05:
+            return False
+        db = orb_ops.unpack_descriptors(self.ms.kf_desc[cand])
+        vb = self.ms.kf_feat_valid[cand] & (self.ms.obs_lm[cand] >= 0)
+        res = matching.match_nn_ratio(
+            frame.desc, db, frame.valid, vb, max_dist=60, ratio=0.8
+        )
+        feat_b = jnp.clip(res.idx, 0)
+        lm = self.ms.obs_lm[cand, feat_b]
+        ok3d = res.valid & (lm >= 0)
+        X = self.ms.lm_pos[jnp.clip(lm, 0)]
+        self._loop_key, sub = _jax.random.split(self._loop_key)
+        R, t, inl, n = ransac.pnp_ransac(
+            X, frame.xy, ok3d, self.cam_params, sub, n_hyp=192,
+            inlier_px=6.0,
+        )
+        if int(n) < 15:
+            return False
+        # guided refinement: track the whole map from the PnP pose and
+        # require a solid inlier count before accepting (the reference
+        # demands >=50 after its guided-matching rounds, Tracking.cc:3940)
+        cam = self.cfg.camera
+        tr = tracking.track_frame(
+            self.ms, frame, R, t, self.cam_params, cam.bf,
+            w=cam.width, h=cam.height,
+            scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        if int(tr.n_inliers) < max(50, self.cfg.tracking.min_inliers_local_map):
+            return False
+        self.R_cw, self.t_cw = tr.R_cw, tr.t_cw
+        self.has_velocity = False
+        return True
+
+    # ------------------------------------------------------------------
+    # Monocular mode (System::TrackMonocular analog)
+    # ------------------------------------------------------------------
+    def track_mono(self, img, t: float) -> int:
+        """Feed one grayscale frame. Map scale is arbitrary (gauge: the
+        two-view baseline is normalized so median scene depth ≈ 2)."""
+        import jax as _jax
+
+        cam = self.cfg.camera
+        self.n_frames += 1
+        frame = frontend.process_mono(
+            jnp.asarray(img, jnp.float32),
+            n_features=self.cfg.orb.n_features,
+            n_levels=self.cfg.orb.n_levels,
+            scale=self.cfg.orb.scale_factor,
+            cell=self.cfg.orb.cell_size,
+        )
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._mono_initialize(frame, t)
+        else:
+            self._track_with_frame(frame, t)
+        self.trajectory.append((t, self.R_cw, self.t_cw))
+        return self.state
+
+    def _mono_initialize(self, frame: frontend.Frame, t: float) -> None:
+        """MonocularInitialization (``Tracking.cc:2373``): hold a reference
+        frame, match a later frame against it, run two-view reconstruction
+        (TwoViewReconstruction analog), spawn the initial map."""
+        import jax as _jax
+
+        from orb_slam3_detailed_comments_kor_tpu.models import camera as cm
+        from orb_slam3_detailed_comments_kor_tpu.ops import matching, twoview
+
+        n_feat = int(frame.valid.sum())
+        if not hasattr(self, "_mono_ref") or self._mono_ref is None:
+            if n_feat > 100:
+                self._mono_ref = (frame, t)
+            return
+        ref, t_ref = self._mono_ref
+        if n_feat <= 100:
+            self._mono_ref = None
+            return
+        # windowed matching (SearchForInitialization: 100px window)
+        d2 = jnp.sum(
+            (ref.xy[:, None, :] - frame.xy[None, :, :]) ** 2, axis=-1
+        )
+        res = matching.match_nn_ratio(
+            ref.desc, frame.desc, ref.valid, frame.valid,
+            max_dist=50, ratio=0.9, mask=d2 < 100.0 ** 2,
+        )
+        if int(res.valid.sum()) < 100:
+            # stale reference → replace (reference resets after 1s too)
+            if t - t_ref > 1.0:
+                self._mono_ref = (frame, t)
+            return
+        rays_a = cm.pinhole_unproject(self.cam_params, ref.xy)
+        rays_b = cm.pinhole_unproject(
+            self.cam_params, frame.xy[jnp.clip(res.idx, 0)]
+        )
+        self._loop_key, sub = _jax.random.split(self._loop_key)
+        th = (1.5 / self.cfg.camera.fx) ** 2
+        tv = twoview.reconstruct_two_views(
+            rays_a, rays_b, res.valid, sub, n_hyp=256, inlier_th=th
+        )
+        if not bool(tv.ok):
+            return
+        # gauge: scale so the median triangulated depth is 2 metres
+        med = jnp.nanmedian(
+            jnp.where(tv.inlier, tv.X[:, 2], jnp.nan)
+        )
+        med = jnp.nan_to_num(med, nan=1.0)
+        s = 2.0 / jnp.maximum(med, 1e-3)
+        X_w = tv.X * s          # ref frame == world
+        t_ba = tv.t_ba * s
+
+        # insert both keyframes (no landmarks yet), then the triangulated set
+        self.R_cw, self.t_cw = jnp.eye(3), jnp.zeros(3)
+        self._insert_keyframe_visual_only(ref, t_ref, None)
+        self.R_cw, self.t_cw = tv.R_ba, t_ba
+        self._insert_keyframe_visual_only(frame, t, None)
+        self.ms = tracking.add_triangulated_landmarks(
+            self.ms, jnp.int32(0), jnp.int32(1),
+            jnp.where(tv.inlier, res.idx, -1), X_w,
+            tv.inlier, self.cam_params,
+            scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        self.ms = tracking.local_ba_step(
+            self.ms, jnp.int32(1), self.cam_params, self.cfg.camera.bf,
+            window=2, lm_cap=self.cfg.capacity.max_local_landmarks, iters=10,
+        )
+        self.state = TrackingState.OK
+        self.inliers_at_last_kf = int(tv.n_good)
+        self._mono_ref = None
+
+    # ------------------------------------------------------------------
+    # RGB-D mode (System::TrackRGBD analog)
+    # ------------------------------------------------------------------
+    def track_rgbd(self, img, depth_map, t: float) -> int:
+        """Feed one RGB-D frame (gray image [H,W] + metric depth [H,W])."""
+        cam = self.cfg.camera
+        self.n_frames += 1
+        frame = frontend.process_rgbd(
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(depth_map, jnp.float32),
+            cam.bf,
+            n_features=self.cfg.orb.n_features,
+            n_levels=self.cfg.orb.n_levels,
+            scale=self.cfg.orb.scale_factor,
+            cell=self.cfg.orb.cell_size,
+        )
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._stereo_initialize(frame, t)
+        else:
+            self._track_with_frame(frame, t)
+        self.trajectory.append((t, self.R_cw, self.t_cw))
+        return self.state
+
+    def _track_with_frame(self, frame: frontend.Frame, t: float) -> None:
+        """Unfused track path for pre-extracted frames (RGB-D / reloc)."""
+        cam = self.cfg.camera
+        if self.has_velocity:
+            R_pred, t_pred = lie.se3_compose(
+                self.vel_R, self.vel_t, self.R_cw, self.t_cw
+            )
+        else:
+            R_pred, t_pred = self.R_cw, self.t_cw
+        tr = tracking.track_frame(
+            self.ms, frame, R_pred, t_pred, self.cam_params, cam.bf,
+            w=cam.width, h=cam.height,
+            scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        n_inliers = int(tr.n_inliers)
+        if n_inliers < self.cfg.tracking.min_inliers_local_map:
+            self._handle_lost(frame)
+            return
+        self.n_lost_frames = 0
+        self.state = TrackingState.OK
+        Ri, ti = lie.se3_inverse(self.R_cw, self.t_cw)
+        self.vel_R, self.vel_t = lie.se3_compose(tr.R_cw, tr.t_cw, Ri, ti)
+        self.has_velocity = True
+        self.R_cw, self.t_cw = tr.R_cw, tr.t_cw
+        self.ms = tracking.update_landmark_stats(self.ms, tr)
+        self.frames_since_kf += 1
+        if self._need_new_keyframe(frame, n_inliers):
+            self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
             self.inliers_at_last_kf = n_inliers
 
     # ------------------------------------------------------------------
@@ -400,6 +664,19 @@ class SlamSystem:
         self._insert_keyframe_visual_only(frame, t, lm_feat)
         # synchronous local mapping (LocalMapping::Run essentials)
         kf_idx = jnp.int32(self.n_kf - 1)
+        if self.cfg.sensor == SensorType.MONOCULAR and self.n_kf >= 3:
+            # mono has no stereo depth: triangulate new points against the
+            # most covisible neighbour (CreateNewMapPoints)
+            feat_b, X_w, want, nb = tracking.triangulate_with_neighbor(
+                self.ms, kf_idx, self.cam_params, w=cam.width, h=cam.height,
+                scale=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+            )
+            self.ms = tracking.add_triangulated_landmarks(
+                self.ms, kf_idx, nb, jnp.where(want, feat_b, -1), X_w, want,
+                self.cam_params, scale=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+            )
         if self.n_kf >= 2:
             self.ms = tracking.local_ba_step(
                 self.ms, kf_idx, self.cam_params, cam.bf,
@@ -407,6 +684,14 @@ class SlamSystem:
                 lm_cap=self.cfg.capacity.max_local_landmarks,
             )
             self.ms = tracking.cull_landmarks(self.ms)
+            # redundant-KF culling (visual mode; the inertial chain keeps
+            # its keyframes — reference merges preintegrations instead)
+            if not self.cfg.is_inertial and self.n_kf > 6:
+                protect = jnp.zeros((self.ms.K,), bool)
+                protect = protect.at[0].set(True).at[1].set(True)
+                protect = protect.at[self.n_kf - 1].set(True)
+                protect = protect.at[self.n_kf - 2].set(True)
+                self.ms = tracking.cull_redundant_keyframes(self.ms, protect)
             self._maybe_close_loop()
             # NOTE: the live tracking pose is deliberately NOT overwritten by
             # the BA result — the tracker re-aligns to the refined map at the
@@ -428,4 +713,5 @@ class SlamSystem:
             "n_keyframes": int(jnp.sum(self.ms.kf_valid)),
             "n_landmarks": int(jnp.sum(self.ms.lm_valid)),
             "n_frames": self.n_frames,
+            "n_maps": 1 + len(self.atlas_maps),
         }

@@ -396,9 +396,172 @@ def local_ba_step(
     return ms
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "n_levels"))
+def add_triangulated_landmarks(
+    ms: msx.MapState,
+    kf_a: jnp.ndarray,
+    kf_b: jnp.ndarray,
+    feat_b: jnp.ndarray,
+    X_w: jnp.ndarray,
+    want: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    scale: float = 1.2,
+    n_levels: int = 8,
+) -> msx.MapState:
+    """Create landmarks from triangulated pairs between two keyframes.
+
+    Arrays are indexed by kf_a's feature slots: feat_b [N] matching feature
+    in kf_b (−1 none), X_w [N,3] world positions, want [N] gate mask.
+    Used by monocular initialization and by mapping-time triangulation
+    (LocalMapping::CreateNewMapPoints, ``LocalMapping.cc:492``).
+    """
+    N = ms.N
+    slots = msx.allocate_slots(~ms.lm_valid, want)
+    got = slots >= 0
+    sl = jnp.where(got, slots, ms.L)
+
+    R_a = ms.kf_R_cw[kf_a]
+    t_a = ms.kf_t_cw[kf_a]
+    Ow = -R_a.T @ t_a
+    delta = X_w - Ow
+    dist = jnp.linalg.norm(delta, axis=-1)
+    normal = delta / jnp.maximum(dist[:, None], 1e-6)
+    lvl = ms.kf_level[kf_a]
+    mind, maxd = msx.landmark_scale_band(dist, lvl, scale, n_levels)
+    desc = ms.kf_desc[kf_a]
+
+    ones = jnp.ones((N,), jnp.int32)
+    ms = ms._replace(
+        lm_pos=ms.lm_pos.at[sl].set(X_w, mode="drop"),
+        lm_valid=ms.lm_valid.at[sl].set(True, mode="drop"),
+        lm_desc=ms.lm_desc.at[sl].set(desc, mode="drop"),
+        lm_normal=ms.lm_normal.at[sl].set(normal, mode="drop"),
+        lm_min_dist=ms.lm_min_dist.at[sl].set(mind, mode="drop"),
+        lm_max_dist=ms.lm_max_dist.at[sl].set(maxd, mode="drop"),
+        lm_found=ms.lm_found.at[sl].set(ones * 2, mode="drop"),
+        lm_visible=ms.lm_visible.at[sl].set(ones * 2, mode="drop"),
+        lm_first_kf=ms.lm_first_kf.at[sl].set(
+            jnp.full((N,), kf_a, jnp.int32), mode="drop"
+        ),
+    )
+    # obs rows: kf_a at its own feature slots; kf_b at the matched slots
+    row_a = jnp.where(got, slots, ms.obs_lm[kf_a])
+    ms = ms._replace(obs_lm=ms.obs_lm.at[kf_a].set(row_a))
+    fb = jnp.where(got & (feat_b >= 0), feat_b, N)  # park invalid at N
+    row_b = ms.obs_lm[kf_b].at[fb].set(slots, mode="drop")
+    ms = ms._replace(obs_lm=ms.obs_lm.at[kf_b].set(row_b))
+    return ms
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n_levels", "w", "h"))
+def triangulate_with_neighbor(
+    ms: msx.MapState,
+    kf_idx: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    w: int,
+    h: int,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    max_reproj_px: float = 2.0,
+    min_parallax_cos: float = 0.99998,
+):
+    """Mapping-time triangulation of a keyframe's unmatched features against
+    its most covisible neighbour (CreateNewMapPoints essentials).
+
+    Returns (feat_b [N], X_w [N,3], want [N], neighbor_idx).
+    """
+    from orb_slam3_detailed_comments_kor_tpu.models import camera as cm
+    from orb_slam3_detailed_comments_kor_tpu.ops import twoview
+
+    N = ms.N
+    cov = msx.covisibility_weights(ms, kf_idx[None])[0]
+    cov = cov.at[kf_idx].set(-1)
+    cov = jnp.where(ms.kf_valid, cov, -1)
+    nb = jnp.argmax(cov).astype(jnp.int32)
+
+    da = orb_ops.unpack_descriptors(ms.kf_desc[kf_idx])
+    db = orb_ops.unpack_descriptors(ms.kf_desc[nb])
+    va = ms.kf_feat_valid[kf_idx] & (ms.obs_lm[kf_idx] < 0)
+    vb = ms.kf_feat_valid[nb] & (ms.obs_lm[nb] < 0)
+    res = matching.match_nn_ratio(da, db, va, vb, max_dist=50, ratio=0.8)
+    feat_b = jnp.where(res.valid, res.idx, -1)
+    fb = jnp.clip(feat_b, 0)
+
+    rays_a = cm.pinhole_unproject(cam_params, ms.kf_xy[kf_idx])
+    rays_b_all = cm.pinhole_unproject(cam_params, ms.kf_xy[nb])
+    rays_b = rays_b_all[fb]
+    # relative transform a→b: T_b_a = T_cw_b ∘ inv(T_cw_a)
+    Ra, ta = ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx]
+    Rb, tb = ms.kf_R_cw[nb], ms.kf_t_cw[nb]
+    Rai, tai = lie.se3_inverse(Ra, ta)
+    R_ba, t_ba = lie.se3_compose(Rb, tb, Rai, tai)
+    X_a, dep_a, dep_b = twoview.triangulate_midpoint(R_ba, t_ba, rays_a, rays_b)
+
+    # gates: cheirality, reprojection in both views, parallax
+    uv_a = cm.pinhole_project(cam_params, X_a)
+    X_b = X_a @ R_ba.T + t_ba
+    uv_b = cm.pinhole_project(cam_params, X_b)
+    err_a = jnp.linalg.norm(uv_a - ms.kf_xy[kf_idx], axis=-1)
+    err_b = jnp.linalg.norm(uv_b - ms.kf_xy[nb, fb], axis=-1)
+    sigma_a = scale ** ms.kf_level[kf_idx].astype(jnp.float32)
+    ob = -R_ba.T @ t_ba
+    v1 = X_a / jnp.maximum(jnp.linalg.norm(X_a, axis=-1, keepdims=True), 1e-9)
+    v2 = X_a - ob
+    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-9)
+    cospar = jnp.sum(v1 * v2, axis=-1)
+    want = (
+        res.valid
+        & (dep_a > 0.05) & (dep_b > 0.05)
+        & (err_a < max_reproj_px * sigma_a)
+        & (err_b < max_reproj_px * sigma_a)
+        & (cospar < min_parallax_cos)
+    )
+    # world coordinates
+    Rwi, twi = lie.se3_inverse(Ra, ta)
+    X_w = X_a @ Rwi.T + twi
+    return feat_b, X_w, want, nb
+
+
 @jax.jit
 def cull_landmarks(ms: msx.MapState) -> msx.MapState:
     """Found-ratio culling (LocalMapping::MapPointCulling semantics)."""
     ratio = ms.lm_found / jnp.maximum(ms.lm_visible, 1)
     bad = ms.lm_valid & (ms.lm_visible >= 4) & (ratio < 0.25)
     return ms._replace(lm_valid=ms.lm_valid & ~bad)
+
+
+@jax.jit
+def cull_redundant_keyframes(
+    ms: msx.MapState,
+    protect: jnp.ndarray,
+) -> msx.MapState:
+    """Redundant-keyframe culling (LocalMapping::KeyFrameCulling,
+    ``LocalMapping.cc:1194``): a keyframe whose landmarks are ≥90% observed
+    by ≥3 other keyframes is removed (marked invalid, observations cleared).
+
+    protect [K] bool: keyframes that must never be culled (anchors, the
+    newest ones, the inertial temporal chain).
+    """
+    K, N, L = ms.K, ms.N, ms.L
+    ok = (ms.obs_lm >= 0) & ms.kf_feat_valid & ms.kf_valid[:, None]
+    # observers per landmark
+    n_obs = jnp.zeros((L,), jnp.int32).at[jnp.clip(ms.obs_lm, 0)].add(
+        ok.astype(jnp.int32), mode="drop"
+    )
+    well_observed = n_obs[jnp.clip(ms.obs_lm, 0)] >= 4  # self + 3 others
+    red = jnp.sum(well_observed & ok, axis=1)
+    tot = jnp.maximum(jnp.sum(ok, axis=1), 1)
+    redundant = (
+        ms.kf_valid & ~protect & (red.astype(jnp.float32) / tot > 0.9)
+    )
+    # cull at most ONE keyframe per call (avoids cascading removals that
+    # would invalidate the n_obs counts computed above)
+    first = jnp.argmax(redundant)
+    do = jnp.any(redundant)
+    kf_valid = ms.kf_valid.at[first].set(
+        jnp.where(do, False, ms.kf_valid[first])
+    )
+    obs_lm = ms.obs_lm.at[first].set(
+        jnp.where(do, -jnp.ones((N,), jnp.int32), ms.obs_lm[first])
+    )
+    return ms._replace(kf_valid=kf_valid, obs_lm=obs_lm)
