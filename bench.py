@@ -40,7 +40,7 @@ def main():
     )
     params = jnp.array([FX, FX, W / 2.0, H / 2.0])
     scene = synthetic.default_scene()
-    n_frames = 80
+    n_frames = 130
     Rs, ts = synthetic.make_trajectory(n_frames, motion="strafe", speed=0.03)
 
     # pre-render all frames (rendering is not part of the benchmark)
@@ -53,8 +53,10 @@ def main():
         frames.append((il.block_until_ready(), ir.block_until_ready()))
 
     slam = SlamSystem(cfg)
-    # warmup: first frames trigger all compilations (extract/track/KF/BA)
-    n_warm = 12
+    # warmup must drive EVERY code path that jit-compiles (tracking, KF
+    # insertion, local BA, keyframe culling, loop detection): remote/axon
+    # compiles are tens of seconds and must not land in the timed window
+    n_warm = 70
     for i in range(n_warm):
         slam.track_stereo(frames[i][0], frames[i][1], i / 20.0)
 

@@ -102,6 +102,21 @@ def train_vocabulary(
     )
 
 
+def load_default() -> "Vocabulary":
+    """Load the pretrained default vocabulary asset (the analog of the
+    reference's ORBvoc.txt load at startup, ``System.cc:82``)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "default_vocab.npz")
+    z = np.load(path)
+    return Vocabulary(
+        centroids=jnp.asarray(z["centroids"]),
+        k=int(z["k"]),
+        depth=int(z["depth"]),
+        idf=jnp.asarray(z["idf"]),
+    )
+
+
 def _level_offset(k: int, lvl: int) -> int:
     """Start index of level `lvl` (0-based) in the flat centroid array."""
     return sum(k ** (l + 1) for l in range(lvl))

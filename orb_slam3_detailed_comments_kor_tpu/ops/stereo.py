@@ -37,58 +37,82 @@ class StereoDepth(NamedTuple):
     valid: jnp.ndarray    # [N] bool
 
 
-def _sad_refine_level(
-    img_l: jnp.ndarray,
-    img_r: jnp.ndarray,
+def _stack_pyramid(pyr):
+    """Pack all levels into one [sumH, W0] 'atlas' image + row offsets.
+
+    One gather from the atlas replaces per-level passes: each keypoint reads
+    its patch at its OWN level, eliminating the 8x redundant work of
+    evaluating every keypoint at every level (measured ~20ms/frame on-chip).
+    """
+    w0 = pyr[0].shape[1]
+    rows = []
+    offs = [0]
+    for img in pyr:
+        h, w = img.shape
+        rows.append(jnp.pad(img, ((0, 0), (0, w0 - w))))
+        offs.append(offs[-1] + h)
+    return jnp.concatenate(rows, axis=0), jnp.asarray(offs[:-1], jnp.int32)
+
+
+def _sad_refine_atlas(
+    atlas_l: jnp.ndarray,
+    atlas_r: jnp.ndarray,
+    row_off: jnp.ndarray,
+    level_w: jnp.ndarray,
+    level_h: jnp.ndarray,
+    level: jnp.ndarray,
     xl: jnp.ndarray,
     yl: jnp.ndarray,
     xr0: jnp.ndarray,
-) -> tuple:
-    """SAD subpixel at one pyramid level.
+):
+    """SAD subpixel for ALL keypoints in one shot via atlas gathers.
 
-    xl, yl, xr0: [K] float level-local coords (left kp and right initial u).
-    Returns (delta_u [K], best_sad [K]): refined right-u offset and score.
+    level [K]; xl/yl/xr0 [K] in level-local coords. Returns (du [K], sad [K]).
     """
-    h, w = img_l.shape
-    K = xl.shape[0]
     win = 2 * _W + 1
+    K = xl.shape[0]
+    w_l = level_w[level]
+    h_l = level_h[level]
+    yi = jnp.clip(jnp.round(yl).astype(jnp.int32), _W, h_l - _W - 1)
+    xi = jnp.clip(jnp.round(xl).astype(jnp.int32), _W, w_l - _W - 1)
+    xri = jnp.clip(jnp.round(xr0).astype(jnp.int32), _W + _L, w_l - _W - _L - 1)
+    base = row_off[level] + yi  # atlas row of the kp
 
-    def one(xl_i, yl_i, xr_i):
-        yi = jnp.clip(jnp.round(yl_i).astype(jnp.int32), _W, h - _W - 1)
-        xi = jnp.clip(jnp.round(xl_i).astype(jnp.int32), _W, w - _W - 1)
-        xri = jnp.clip(
-            jnp.round(xr_i).astype(jnp.int32), _W + _L, w - _W - _L - 1
+    # vmapped dynamic_slice on the atlas (fastest patch access on v5e; see
+    # note in orb._orientation)
+    def slices(b, x, xr):
+        pl = jax.lax.dynamic_slice(atlas_l, (b - _W, x - _W), (win, win))
+        sr = jax.lax.dynamic_slice(
+            atlas_r, (b - _W, xr - _W - _L), (win, win + 2 * _L)
         )
-        patch_l = jax.lax.dynamic_slice(
-            img_l, (yi - _W, xi - _W), (win, win)
-        )
-        # normalize by center intensity (reference subtracts center value)
-        patch_l = patch_l - patch_l[_W, _W]
-        strip_r = jax.lax.dynamic_slice(
-            img_r, (yi - _W, xri - _W - _L), (win, win + 2 * _L)
-        )
+        return pl, sr
 
-        def sad_at(inc):
-            pr = jax.lax.dynamic_slice(strip_r, (0, inc), (win, win))
-            pr = pr - pr[_W, _W]
-            return jnp.sum(jnp.abs(patch_l - pr))
-
-        sads = jax.vmap(sad_at)(jnp.arange(2 * _L + 1))
-        best = jnp.argmin(sads)
-        s_m = sads[jnp.clip(best - 1, 0, 2 * _L)]
-        s_0 = sads[best]
-        s_p = sads[jnp.clip(best + 1, 0, 2 * _L)]
-        denom = s_m + s_p - 2.0 * s_0
-        delta = jnp.where(
-            denom > 1e-6, 0.5 * (s_m - s_p) / jnp.maximum(denom, 1e-6), 0.0
-        )
-        delta = jnp.clip(delta, -1.0, 1.0)
-        du = (best - _L).astype(jnp.float32) + delta + (
-            xri.astype(jnp.float32) - xr_i
-        )
-        return du, s_0
-
-    return jax.vmap(one)(xl, yl, xr0)
+    patch_l, strip_r = jax.vmap(slices)(base, xi, xri)
+    patch_l = patch_l - patch_l[:, _W, _W][:, None, None]
+    # slide the 11x11 window across the strip (static unroll, fused by XLA)
+    sad_list = []
+    for i in range(2 * _L + 1):
+        wnd = strip_r[:, :, i:i + win]
+        wnd = wnd - wnd[:, _W, _W][:, None, None]
+        sad_list.append(jnp.sum(jnp.abs(wnd - patch_l), axis=(1, 2)))
+    sads = jnp.stack(sad_list, axis=1)  # [K, 11]
+    best = jnp.argmin(sads, axis=1)
+    s0 = jnp.take_along_axis(sads, best[:, None], axis=1)[:, 0]
+    sm = jnp.take_along_axis(
+        sads, jnp.clip(best - 1, 0, 2 * _L)[:, None], axis=1
+    )[:, 0]
+    sp = jnp.take_along_axis(
+        sads, jnp.clip(best + 1, 0, 2 * _L)[:, None], axis=1
+    )[:, 0]
+    denom = sm + sp - 2.0 * s0
+    delta = jnp.where(
+        denom > 1e-6, 0.5 * (sm - sp) / jnp.maximum(denom, 1e-6), 0.0
+    )
+    delta = jnp.clip(delta, -1.0, 1.0)
+    du = (best - _L).astype(jnp.float32) + delta + (
+        xri.astype(jnp.float32) - xr0
+    )
+    return du, s0
 
 
 def compute_stereo_matches(
@@ -123,21 +147,16 @@ def compute_stereo_matches(
     xr_match = right.xy[best_idx, 0]  # [N] level-0 right u
 
     # --- stage 2: SAD subpixel at each feature's own level ---------------
-    inv_sigma = 1.0 / sigma_l
-    du_all = jnp.zeros_like(xr_match)
-    sad_all = jnp.full_like(xr_match, BIG)
-    for l in range(n_levels):
-        s = float(scale) ** l
-        du_l, sad_l = _sad_refine_level(
-            pyr_l[l],
-            pyr_r[l],
-            left.xy[:, 0] / s,
-            left.xy[:, 1] / s,
-            xr_match / s,
-        )
-        on_level = left.level == l
-        du_all = jnp.where(on_level, du_l * s, du_all)
-        sad_all = jnp.where(on_level, sad_l, sad_all)
+    atlas_l, row_off = _stack_pyramid(pyr_l)
+    atlas_r, _ = _stack_pyramid(pyr_r)
+    level_h = jnp.asarray([p.shape[0] for p in pyr_l], jnp.int32)
+    level_w = jnp.asarray([p.shape[1] for p in pyr_l], jnp.int32)
+    s_per = sigma_l  # scale ** level
+    du_lvl, sad_all = _sad_refine_atlas(
+        atlas_l, atlas_r, row_off, level_w, level_h, left.level,
+        left.xy[:, 0] / s_per, left.xy[:, 1] / s_per, xr_match / s_per,
+    )
+    du_all = du_lvl * s_per
 
     u_right = xr_match + du_all
     disparity = left.xy[:, 0] - u_right

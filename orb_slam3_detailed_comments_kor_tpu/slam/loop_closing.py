@@ -43,6 +43,7 @@ class LoopCloser:
         min_score: float = 0.12,
         min_inliers: int = 20,
         consistency: int = 3,
+        vocab: "voc.Vocabulary" = None,
     ):
         self.max_kf = max_kf
         self.vocab_k = vocab_k
@@ -51,8 +52,10 @@ class LoopCloser:
         self.min_score = min_score
         self.min_inliers = min_inliers
         self.consistency_needed = consistency
-        self.vocab: Optional[voc.Vocabulary] = None
-        self.bow_db: Optional[jnp.ndarray] = None  # [K, W]
+        self.vocab: Optional[voc.Vocabulary] = vocab
+        self.bow_db: Optional[jnp.ndarray] = (
+            None if vocab is None else jnp.zeros((max_kf, vocab.n_words))
+        )
         self._train_buf = []
         self._consecutive = 0
         self._last_cand = -1

@@ -1,0 +1,405 @@
+"""Atlas map merging: re-join a shelved map when place recognition finds
+overlap with the active map.
+
+Counterpart of ``LoopClosing::MergeLocal`` (visual, ``LoopClosing.cc:1288``)
+and ``MergeLocal2`` (inertial, ``:1837``): when tracking was lost hard, the
+Atlas shelved the old map and started fresh (``Tracking::CreateMapInAtlas``,
+``Tracking.cc:2609``); once the camera revisits mapped territory the two
+maps are welded — the ACTIVE (younger) map is rigidly transformed into the
+shelved map's frame, keyframe/landmark blocks are concatenated, duplicate
+landmarks are fused, and a pose-graph + weld-window BA distributes the
+seam error.
+
+TPU-native design: both maps are fixed-capacity SoA blocks, so the merge is
+array surgery — scatter the source block into the target's free slots with
+an index remap — followed by the same batched pose-graph/BA kernels loop
+closing uses. No welding-window pointer bookkeeping.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_detailed_comments_kor_tpu.models import vocabulary as voc
+from orb_slam3_detailed_comments_kor_tpu.ops import matching, orb as orb_ops, ransac
+from orb_slam3_detailed_comments_kor_tpu.optim import pose_graph
+from orb_slam3_detailed_comments_kor_tpu.slam import map_state as msx
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+
+def detect_merge_candidate(
+    bow_cur: jnp.ndarray,
+    shelved_db: jnp.ndarray,
+    n_kf_shelved: int,
+    min_score: float = 0.15,
+) -> Tuple[int, float]:
+    """Score the current keyframe's BoW vector against a shelved map's
+    database (KeyFrameDatabase::DetectNBestCandidates merge path).
+
+    Returns (best_kf_idx_or_-1, score).
+    """
+    scores = np.array(voc.score_against_database(
+        bow_cur, shelved_db[:n_kf_shelved]
+    ))
+    cand = int(scores.argmax())
+    if scores[cand] < min_score:
+        return -1, float(scores[cand])
+    return cand, float(scores[cand])
+
+
+def verify_merge(
+    ms_cur: msx.MapState,
+    kf_cur: int,
+    ms_old: msx.MapState,
+    kf_old: int,
+    key,
+    min_inliers: int = 20,
+    cam_params=None,
+    bf: float = 0.0,
+    w: int = 0,
+    h: int = 0,
+    scale: float = 1.2,
+    n_levels: int = 8,
+):
+    """Geometric verification across maps, at REPROJECTION accuracy.
+
+    3-D↔3-D Horn alignment of matched landmarks (the obvious choice) is
+    too blunt for the weld: triangulated landmark noise at short baselines
+    is ~dm, so the fitted transform inherits a comparable bias. Instead —
+    mirroring the reference's reprojection-refined Sim3 pipeline
+    (``Sim3Solver`` RANSAC then ``OptimizeSim3``, ``LoopClosing.cc:767,828``)
+    — we *relocalize the current keyframe inside the shelved map*:
+    descriptor matches give 2-D(cur)↔3-D(old) pairs, PnP RANSAC gives the
+    camera pose in the old world at pixel-level accuracy, and a guided
+    track_frame refine against the whole shelved map hardens the gate.
+
+    Returns (ok, R, t) with X_old ≈ R·X_cur + t, derived from
+    D = T_cw_old⁻¹ ∘ T_cw_cur of the same physical camera.
+    """
+    from orb_slam3_detailed_comments_kor_tpu.slam import frontend as fe
+    from orb_slam3_detailed_comments_kor_tpu.slam import tracking as trk
+
+    da = orb_ops.unpack_descriptors(ms_cur.kf_desc[kf_cur])
+    db = orb_ops.unpack_descriptors(ms_old.kf_desc[kf_old])
+    va = ms_cur.kf_feat_valid[kf_cur]
+    vb = ms_old.kf_feat_valid[kf_old] & (ms_old.obs_lm[kf_old] >= 0)
+    res = matching.match_nn_ratio(da, db, va, vb, max_dist=60, ratio=0.85)
+    feat_b = jnp.clip(res.idx, 0)
+    lm_b = ms_old.obs_lm[kf_old, feat_b]
+    pair_ok = res.valid & (lm_b >= 0)
+    X_old = ms_old.lm_pos[jnp.clip(lm_b, 0)]
+    uv_cur = ms_cur.kf_xy[kf_cur]
+    R_pnp, t_pnp, _inl, n_pnp = ransac.pnp_ransac(
+        X_old, uv_cur, pair_ok, cam_params, key, n_hyp=192, inlier_px=6.0
+    )
+    if int(n_pnp) < 12:
+        return False, R_pnp, t_pnp
+    # guided refinement against the whole shelved map (reloc-style gate)
+    frame = fe.Frame(
+        xy=uv_cur,
+        level=ms_cur.kf_level[kf_cur],
+        angle=ms_cur.kf_angle[kf_cur],
+        desc=da,
+        desc_packed=ms_cur.kf_desc[kf_cur],
+        u_right=ms_cur.kf_ur[kf_cur],
+        depth=jnp.where(
+            ms_cur.kf_ur[kf_cur] >= 0,
+            bf / jnp.maximum(
+                ms_cur.kf_xy[kf_cur, :, 0] - ms_cur.kf_ur[kf_cur], 1e-3
+            ),
+            -jnp.ones_like(ms_cur.kf_ur[kf_cur]),
+        ),
+        valid=va,
+    )
+    tr = trk.track_frame(
+        ms_old, frame, R_pnp, t_pnp, cam_params, bf,
+        w=w, h=h, scale=scale, n_levels=n_levels,
+    )
+    ok = int(tr.n_inliers) >= max(30, min_inliers)
+    # D = T_cw_old⁻¹ ∘ T_cw_cur
+    Ro_i, to_i = lie.se3_inverse(tr.R_cw, tr.t_cw)
+    R_d, t_d = lie.se3_compose(
+        Ro_i, to_i, ms_cur.kf_R_cw[kf_cur], ms_cur.kf_t_cw[kf_cur]
+    )
+    return ok, R_d, t_d
+
+
+@jax.jit
+def _concat_maps(
+    ms_old: msx.MapState,
+    ms_cur: msx.MapState,
+    n_kf_old: jnp.ndarray,
+    R_d: jnp.ndarray,
+    t_d: jnp.ndarray,
+):
+    """Weld the ACTIVE map (cur) into the shelved map's (old) arrays.
+
+    cur poses/landmarks are transformed by the world-to-world delta
+    (X_old = R_d·X_cur + t_d; T_cw' = T_cw ∘ D⁻¹), then scattered into
+    old's free keyframe/landmark slots. Returns (ms_merged, kf_remap [K],
+    n_kf_total, lm_overflow).
+    """
+    K, N, L = ms_old.K, ms_old.N, ms_old.L
+    Rd_i, td_i = lie.se3_inverse(R_d, t_d)
+
+    # --- keyframes: cur kf i → slot n_kf_old + rank(i among valid) -------
+    cur_valid = ms_cur.kf_valid
+    rank = jnp.cumsum(cur_valid.astype(jnp.int32)) - 1
+    kf_dst = jnp.where(cur_valid, n_kf_old + rank, K)  # K = parked
+    # transformed poses: T_cw_new = T_cw_cur ∘ D⁻¹
+    R_new = jnp.einsum("kij,jl->kil", ms_cur.kf_R_cw, Rd_i)
+    t_new = (
+        jnp.einsum("kij,j->ki", ms_cur.kf_R_cw, td_i) + ms_cur.kf_t_cw
+    )
+
+    # --- landmarks: allocate free slots in old ---------------------------
+    slots = msx.allocate_slots(~ms_old.lm_valid, ms_cur.lm_valid)
+    got = slots >= 0
+    sl = jnp.where(got, slots, L)  # park overflow at L
+    lm_overflow = jnp.sum(ms_cur.lm_valid & ~got)
+    X_new = ms_cur.lm_pos @ R_d.T + t_d
+    nrm_new = ms_cur.lm_normal @ R_d.T
+
+    ms = ms_old._replace(
+        lm_pos=ms_old.lm_pos.at[sl].set(X_new, mode="drop"),
+        lm_valid=ms_old.lm_valid.at[sl].set(
+            ms_cur.lm_valid, mode="drop"
+        ),
+        lm_desc=ms_old.lm_desc.at[sl].set(ms_cur.lm_desc, mode="drop"),
+        lm_normal=ms_old.lm_normal.at[sl].set(nrm_new, mode="drop"),
+        lm_min_dist=ms_old.lm_min_dist.at[sl].set(
+            ms_cur.lm_min_dist, mode="drop"
+        ),
+        lm_max_dist=ms_old.lm_max_dist.at[sl].set(
+            ms_cur.lm_max_dist, mode="drop"
+        ),
+        lm_found=ms_old.lm_found.at[sl].set(ms_cur.lm_found, mode="drop"),
+        lm_visible=ms_old.lm_visible.at[sl].set(
+            ms_cur.lm_visible, mode="drop"
+        ),
+        lm_first_kf=ms_old.lm_first_kf.at[sl].set(
+            jnp.where(
+                ms_cur.lm_first_kf >= 0, kf_dst[jnp.clip(
+                    ms_cur.lm_first_kf, 0)], -1
+            ),
+            mode="drop",
+        ),
+    )
+
+    # --- observation rows: remap landmark ids then scatter ----------------
+    lm_remap = jnp.where(got, slots, -1)  # [L] cur lm id → merged id
+    obs_new = jnp.where(
+        ms_cur.obs_lm >= 0, lm_remap[jnp.clip(ms_cur.obs_lm, 0)], -1
+    )
+    ms = ms._replace(
+        kf_R_cw=ms.kf_R_cw.at[kf_dst].set(R_new, mode="drop"),
+        kf_t_cw=ms.kf_t_cw.at[kf_dst].set(t_new, mode="drop"),
+        kf_valid=ms.kf_valid.at[kf_dst].set(cur_valid, mode="drop"),
+        kf_time=ms.kf_time.at[kf_dst].set(ms_cur.kf_time, mode="drop"),
+        kf_xy=ms.kf_xy.at[kf_dst].set(ms_cur.kf_xy, mode="drop"),
+        kf_level=ms.kf_level.at[kf_dst].set(ms_cur.kf_level, mode="drop"),
+        kf_angle=ms.kf_angle.at[kf_dst].set(ms_cur.kf_angle, mode="drop"),
+        kf_desc=ms.kf_desc.at[kf_dst].set(ms_cur.kf_desc, mode="drop"),
+        kf_ur=ms.kf_ur.at[kf_dst].set(ms_cur.kf_ur, mode="drop"),
+        kf_feat_valid=ms.kf_feat_valid.at[kf_dst].set(
+            ms_cur.kf_feat_valid, mode="drop"
+        ),
+        obs_lm=ms.obs_lm.at[kf_dst].set(obs_new, mode="drop"),
+    )
+    n_total = n_kf_old + jnp.sum(cur_valid)
+    return ms, kf_dst, n_total, lm_overflow
+
+
+@jax.jit
+def fuse_duplicate_landmarks(
+    ms: msx.MapState,
+    src_is_new: jnp.ndarray,   # [L] landmarks that came from the welded map
+    radius: float = 0.05,
+    max_hamming: int = 50,
+):
+    """SearchAndFuse analog (``LoopClosing.cc:2126``) in 3-D: a welded
+    landmark within `radius` of an original landmark with a matching
+    descriptor is replaced by it (observations rewritten).
+
+    3-D nearest-neighbour + descriptor gate replaces the reference's
+    per-keyframe reprojection fuse — O(L²) brute force rides the MXU.
+    """
+    L = ms.L
+    old_mask = ms.lm_valid & ~src_is_new
+    new_mask = ms.lm_valid & src_is_new
+    # chunked nearest-old-landmark search: an [L,L] distance matrix is 4 GB
+    # at capacity, so scan over 1024-row blocks (each block is a small
+    # matmul-shaped reduction the compiler vectorizes well)
+    chunk = min(1024, L)
+    n_chunks = (L + chunk - 1) // chunk
+    pos_pad = jnp.pad(ms.lm_pos, ((0, n_chunks * chunk - L), (0, 0)))
+    blocks = pos_pad.reshape(n_chunks, chunk, 3)
+
+    def one_block(blk):
+        d2 = jnp.sum((blk[:, None, :] - ms.lm_pos[None, :, :]) ** 2, -1)
+        d2 = jnp.where(old_mask[None, :], d2, jnp.inf)
+        nb = jnp.argmin(d2, axis=1)
+        return nb, jnp.take_along_axis(d2, nb[:, None], 1)[:, 0]
+
+    nearest, near_d2 = jax.lax.map(one_block, blocks)
+    nearest = nearest.reshape(-1)[:L]
+    near_ok = near_d2.reshape(-1)[:L] < radius ** 2
+    ham = jnp.sum(
+        jax.lax.population_count(
+            jnp.bitwise_xor(ms.lm_desc, ms.lm_desc[nearest])
+        ),
+        axis=-1,
+    ).astype(jnp.int32)
+    fuse = new_mask & near_ok & (ham <= max_hamming)
+    # rewrite observations: fused new id → old id  (MapPoint::Replace)
+    remap = jnp.where(fuse, nearest, jnp.arange(L))
+    obs = jnp.where(ms.obs_lm >= 0, remap[jnp.clip(ms.obs_lm, 0)], -1)
+    # found/visible counters accumulate onto the kept landmark
+    lm_found = ms.lm_found.at[nearest].add(jnp.where(fuse, ms.lm_found, 0))
+    lm_visible = ms.lm_visible.at[nearest].add(
+        jnp.where(fuse, ms.lm_visible, 0)
+    )
+    return ms._replace(
+        lm_valid=ms.lm_valid & ~fuse,
+        obs_lm=obs,
+        lm_found=lm_found,
+        lm_visible=lm_visible,
+    ), jnp.sum(fuse)
+
+
+def merge_into_shelved(
+    slam,
+    shelf_idx: int,
+    kf_cur: int,
+    kf_old: int,
+    R_d,
+    t_d,
+) -> bool:
+    """Execute the merge: weld active map into ``slam.atlas_maps[shelf_idx]``
+    and make the result the active map (MergeLocal main body).
+
+    Returns False (no mutation) if capacities cannot hold both maps.
+    """
+    shelf = slam.atlas_maps[shelf_idx]
+    ms_old, n_old = shelf["ms"], shelf["n_kf"]
+    n_cur = slam.n_kf
+    if n_old + n_cur > slam.ms.K:
+        return False
+
+    ms, kf_dst, n_total, lm_overflow = _concat_maps(
+        ms_old, slam.ms, jnp.int32(n_old), R_d, t_d
+    )
+    if int(lm_overflow) > 0:
+        return False
+    n_total = int(n_total)
+
+    # duplicate fusion in the weld region
+    src_is_new = jnp.zeros((ms.L,), bool)
+    src_slots = msx.allocate_slots(~ms_old.lm_valid, slam.ms.lm_valid)
+    src_is_new = src_is_new.at[jnp.clip(src_slots, 0)].set(
+        src_slots >= 0, mode="drop"
+    )
+    ms, _n_fused = fuse_duplicate_landmarks(ms, src_is_new)
+
+    # pose-graph weld: temporal chains of both maps + the merge edge
+    kf_cur_new = int(np.asarray(kf_dst)[kf_cur])
+    i_seq = jnp.arange(n_total - 1)
+    j_seq = jnp.arange(1, n_total)
+    # the chain crosses the map boundary at n_old; drop that fake edge
+    seq_ok = i_seq != (n_old - 1)
+    edges = pose_graph.make_edges_from_poses(
+        i_seq, j_seq, ms.kf_R_cw, ms.kf_t_cw
+    )
+    edges = edges._replace(valid=edges.valid & seq_ok)
+    Rj_i, tj_i = lie.se3_inverse(ms.kf_R_cw[kf_old], ms.kf_t_cw[kf_old])
+    Rw, tw = lie.se3_compose(
+        ms.kf_R_cw[kf_cur_new], ms.kf_t_cw[kf_cur_new], Rj_i, tj_i
+    )
+    e_weld = pose_graph.PoseGraphEdges(
+        i=jnp.array([kf_cur_new], jnp.int32),
+        j=jnp.array([kf_old], jnp.int32),
+        R_meas=Rw[None], t_meas=tw[None], s_meas=jnp.ones((1,)),
+        weight=jnp.array([30.0]), valid=jnp.ones((1,), bool),
+    )
+    edges = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), edges, e_weld)
+    fixed = jnp.zeros((n_total,), bool).at[0].set(True).at[kf_old].set(True)
+    R_pg, t_pg = pose_graph.optimize_pose_graph_se3(
+        ms.kf_R_cw[:n_total], ms.kf_t_cw[:n_total], edges, fixed, iters=10
+    )
+    ms = ms._replace(
+        kf_R_cw=ms.kf_R_cw.at[:n_total].set(R_pg),
+        kf_t_cw=ms.kf_t_cw.at[:n_total].set(t_pg),
+    )
+
+    # --- install as the active map ---------------------------------------
+    # current camera pose moves with its map: T_cw' = T_cw ∘ D⁻¹
+    Rd_i, td_i = lie.se3_inverse(R_d, t_d)
+    slam.R_cw, slam.t_cw = lie.se3_compose(slam.R_cw, slam.t_cw, Rd_i, td_i)
+    slam.has_velocity = False
+    slam.ms = ms
+    slam.n_kf = n_total
+
+    # merge the BoW databases: old rows stay, cur rows land at kf_dst
+    lc_old = shelf.get("loop_closer")
+    if (
+        lc_old is not None and lc_old.bow_db is not None
+        and slam.loop_closer.bow_db is not None
+    ):
+        db = lc_old.bow_db
+        dst = np.asarray(kf_dst)
+        cur_db = slam.loop_closer.bow_db
+        for i in range(n_cur):
+            if dst[i] < ms.K:
+                db = db.at[int(dst[i])].set(cur_db[i])
+        lc_old.bow_db = db
+        slam.loop_closer = lc_old
+
+    # re-anchor the recorded trajectory segment of the young map
+    start = shelf["traj_end"]
+    for k in range(start, len(slam.trajectory)):
+        t, R_cw, t_cw = slam.trajectory[k]
+        R2, t2 = lie.se3_compose(R_cw, t_cw, Rd_i, td_i)
+        slam.trajectory[k] = (t, R2, t2)
+
+    del slam.atlas_maps[shelf_idx]
+    return True
+
+
+def try_merge(slam) -> bool:
+    """Called after keyframe insertion while shelved maps exist: detect,
+    verify, and execute a map merge (LoopClosing merge path)."""
+    if not slam.atlas_maps or slam.n_kf < 3:
+        return False
+    lc = slam.loop_closer
+    if lc.vocab is None or lc.bow_db is None:
+        return False
+    kf_cur = slam.n_kf - 1
+    bow_cur = lc.bow_db[kf_cur]
+    for shelf_idx, shelf in enumerate(slam.atlas_maps):
+        lc_old = shelf.get("loop_closer")
+        if lc_old is None or lc_old.bow_db is None:
+            continue
+        cand, score = detect_merge_candidate(
+            bow_cur, lc_old.bow_db, shelf["n_kf"]
+        )
+        if cand < 0:
+            continue
+        import jax as _jax
+
+        slam._loop_key, sub = _jax.random.split(slam._loop_key)
+        cam = slam.cfg.camera
+        ok, R_d, t_d = verify_merge(
+            slam.ms, kf_cur, shelf["ms"], cand, sub,
+            cam_params=slam.cam_params, bf=cam.bf,
+            w=cam.width, h=cam.height,
+            scale=slam.cfg.orb.scale_factor, n_levels=slam.cfg.orb.n_levels,
+        )
+        if not ok:
+            continue
+        if merge_into_shelved(slam, shelf_idx, kf_cur, cand, R_d, t_d):
+            return True
+    return False

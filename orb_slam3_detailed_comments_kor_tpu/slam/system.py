@@ -64,14 +64,22 @@ class SlamSystem:
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         # Atlas: shelved maps (Atlas::CreateNewMap stores the old map)
         self.atlas_maps: List[dict] = []
+        # per-stage tracing (REGISTER_TIMES analog; opt-in, ~zero overhead
+        # when disabled — see utils/timing.py)
+        from orb_slam3_detailed_comments_kor_tpu.utils.timing import StageTimer
+
+        self.timer = StageTimer(enabled=False)
 
         # --- loop closing -------------------------------------------------
         from orb_slam3_detailed_comments_kor_tpu.slam.loop_closing import LoopCloser
+
+        from orb_slam3_detailed_comments_kor_tpu.models import vocabulary as _voc
 
         self.loop_closer = LoopCloser(
             max_kf=cap.max_keyframes,
             vocab_k=config.capacity.vocab_branching,
             vocab_depth=min(config.capacity.vocab_depth, 3),
+            vocab=_voc.load_default(),
         )
         self.enable_loop_closing = True
         self._loop_key = jnp.asarray(
@@ -142,6 +150,17 @@ class SlamSystem:
         self.inliers_at_last_kf = n_depth
 
     def _track(self, img_l, img_r, t: float, override_pred=None) -> None:
+        """Deferred-decision tracking: the device step for frame i is
+        dispatched immediately; the host-side branching (lost / keyframe
+        decision) for frame i runs while frame i+1's step is in flight.
+
+        Through a remote device tunnel a scalar sync costs a full RTT
+        (~90 ms measured), so per-frame `int(n_inliers)` syncs dominated the
+        frame budget. The device graph already resolves the pose fallback
+        (ok/not-ok) branchlessly, so only the state label and the KF
+        decision lag by one frame — the same latency class as the
+        reference's asynchronous LocalMapping queue.
+        """
         cam = self.cfg.camera
         if override_pred is not None:
             # IMU-predicted pose: feed it as "last pose" with no velocity so
@@ -151,37 +170,76 @@ class SlamSystem:
         else:
             R_last, t_last = self.R_cw, self.t_cw
             has_vel = jnp.bool_(self.has_velocity)
-        ms, frame, tr, R_new, t_new, vel_R, vel_t, _ = tracking.full_frame_step(
-            self.ms, img_l, img_r, R_last, t_last,
-            self.vel_R, self.vel_t, has_vel,
-            self.cam_params,
-            bf=cam.bf, w=cam.width, h=cam.height,
-            scale=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels,
-            n_features=self.cfg.orb.n_features,
-            cell=self.cfg.orb.cell_size,
-            min_inliers=self.cfg.tracking.min_inliers_local_map,
-        )
+        with self.timer.span("track/dispatch"):
+            ms, frame, tr, R_new, t_new, vel_R, vel_t, _ = tracking.full_frame_step(
+                self.ms, img_l, img_r, R_last, t_last,
+                self.vel_R, self.vel_t, has_vel,
+                self.cam_params,
+                bf=cam.bf, w=cam.width, h=cam.height,
+                scale=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+                n_features=self.cfg.orb.n_features,
+                cell=self.cfg.orb.cell_size,
+                min_inliers=self.cfg.tracking.min_inliers_local_map,
+            )
         self.ms = ms
-        n_inliers = int(tr.n_inliers)
-
-        if n_inliers < self.cfg.tracking.min_inliers_local_map:
-            # lost path: reloc → degrade → Atlas (Tracking.cc:1876-1948)
-            self._handle_lost(frame)
-            return
-
-        self.n_lost_frames = 0
-        self.state = TrackingState.OK
         self.R_cw, self.t_cw = R_new, t_new
         self.vel_R, self.vel_t = vel_R, vel_t
         self.has_velocity = True
         self.frames_since_kf += 1
+        # start the device→host copy of the decision scalar in background
+        try:
+            tr.n_inliers.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending, self._pending_decision = (
+            getattr(self, "_pending_decision", None),
+            (frame, tr, t),
+        )
+        if pending is not None:
+            self._decide(*pending)
+        if self.state != TrackingState.OK:
+            # while degraded, latency is irrelevant — decide synchronously
+            # so lost-streak counting and relocalization act on THIS frame
+            self.flush_decisions()
 
+    def flush_decisions(self) -> None:
+        """Resolve the deferred decision (call at sequence end)."""
+        pending = getattr(self, "_pending_decision", None)
+        self._pending_decision = None
+        if pending is not None:
+            self._decide(*pending)
+
+    def _decide(self, frame, tr, t: float) -> None:
+        """Host branching for an already-computed frame step."""
+        with self.timer.span("track/decide_sync"):
+            n_inliers = int(tr.n_inliers)
+        if n_inliers < self.cfg.tracking.min_inliers_local_map:
+            # lost path: reloc → degrade → Atlas (Tracking.cc:1876-1948)
+            with self.timer.span("track/lost"):
+                self._handle_lost(frame)
+            return
+        self.n_lost_frames = 0
+        self.state = TrackingState.OK
         if self._need_new_keyframe(frame, n_inliers):
-            if self.cfg.is_inertial and self.n_kf > 0:
-                self._insert_keyframe_inertial(frame, t, lm_feat=tr.lm_feat)
-            else:
-                self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
+            # the keyframe is inserted with ITS OWN tracked pose (stored in
+            # tr), not the current live pose. The live pose is restored
+            # RELATIVELY (T_rel = T_live ∘ T_kf⁻¹, re-applied to the
+            # possibly re-based post-insertion pose): loop closing and map
+            # merging re-express the world frame during insertion, and a
+            # naive save/restore would clobber that re-basing.
+            R_save, t_save = self.R_cw, self.t_cw
+            Ri, ti = lie.se3_inverse(tr.R_cw, tr.t_cw)
+            R_rel, t_rel = lie.se3_compose(R_save, t_save, Ri, ti)
+            self.R_cw, self.t_cw = tr.R_cw, tr.t_cw
+            with self.timer.span("mapping/insert_kf"):
+                if self.cfg.is_inertial and self.n_kf > 0:
+                    self._insert_keyframe_inertial(frame, t, lm_feat=tr.lm_feat)
+                else:
+                    self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
+            self.R_cw, self.t_cw = lie.se3_compose(
+                R_rel, t_rel, self.R_cw, self.t_cw
+            )
             self.inliers_at_last_kf = n_inliers
 
 
@@ -227,6 +285,7 @@ class SlamSystem:
         self._reset_active_map()
 
     def _reset_active_map(self) -> None:
+        from orb_slam3_detailed_comments_kor_tpu.models import vocabulary as _voc
         from orb_slam3_detailed_comments_kor_tpu.slam.loop_closing import LoopCloser
 
         cap = self.cfg.capacity
@@ -235,6 +294,7 @@ class SlamSystem:
             max_kf=cap.max_keyframes,
             vocab_k=cap.vocab_branching,
             vocab_depth=min(cap.vocab_depth, 3),
+            vocab=_voc.load_default(),
         )
         self.n_kf = 0
         self.frames_since_kf = 0
@@ -693,10 +753,32 @@ class SlamSystem:
                 protect = protect.at[self.n_kf - 2].set(True)
                 self.ms = tracking.cull_redundant_keyframes(self.ms, protect)
             self._maybe_close_loop()
+            # Atlas merge: while shelved maps exist, check every new KF for
+            # overlap with them (LoopClosing merge path, LoopClosing.cc:1288)
+            if self.atlas_maps and self.enable_loop_closing:
+                from orb_slam3_detailed_comments_kor_tpu.slam import map_merging
+
+                with self.timer.span("mapping/try_merge"):
+                    map_merging.try_merge(self)
             # NOTE: the live tracking pose is deliberately NOT overwritten by
             # the BA result — the tracker re-aligns to the refined map at the
             # next frame's optimization (reference behavior: Tracking owns its
             # pose; LocalMapping only refines the map)
+
+    # ------------------------------------------------------------------
+    def save_map(self, path: str) -> None:
+        """Snapshot map + tracking state (the reference's ``SaveMap`` TODO,
+        ``System.h:179-181``, made real)."""
+        from orb_slam3_detailed_comments_kor_tpu.slam import checkpoint
+
+        self.flush_decisions()
+        checkpoint.save_map(self, path)
+
+    def load_map(self, path: str) -> None:
+        """Restore a snapshot produced by :meth:`save_map` (same config)."""
+        from orb_slam3_detailed_comments_kor_tpu.slam import checkpoint
+
+        checkpoint.load_map(self, path)
 
     # ------------------------------------------------------------------
     def trajectory_arrays(self):

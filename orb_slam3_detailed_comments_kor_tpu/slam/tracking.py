@@ -88,7 +88,7 @@ def track_frame(
     lm_bits = orb_ops.unpack_descriptors(ms.lm_desc)
     inv_sigma2_feat = 1.0 / (scale ** (2.0 * frame.level.astype(jnp.float32)))
 
-    def stage(R, t, radius, max_dist):
+    def stage(R, t, radius, max_dist, rounds, iters):
         uv, lvl, vis = _project_landmarks(
             ms, R, t, cam_params, w, h, scale, n_levels
         )
@@ -107,11 +107,22 @@ def track_frame(
             inv_sigma2_feat[feat],
             res.valid,
             cam_params, bf,
+            rounds=rounds, iters=iters,
         )
         return opt, res, vis
 
-    opt1, _, _ = stage(R_pred, t_pred, r_wide, matching.TH_HIGH)
-    opt2, res2, vis2 = stage(opt1.R_cw, opt1.t_cw, r_narrow, matching.TH_HIGH)
+    # TPU latency note: LM iterations are sequential micro-steps, so the
+    # (4x10)x2 budget of the reference (Optimizer.cc:831 4 rounds x 10 LM
+    # iters, run per stage) is pure latency. The WIDE stage must keep the
+    # full 4-round chi2-regating budget: after tracking loss the prediction
+    # can be decimetres off and recovery relies on iterate→regate→iterate
+    # walking the pose toward consensus (cutting it to 2 rounds made
+    # blackout-recovery converge to a spurious pose). The narrow stage
+    # starts within a few px, where 2x8 matches 4x10 output.
+    opt1, _, _ = stage(R_pred, t_pred, r_wide, matching.TH_HIGH, 4, 10)
+    opt2, res2, vis2 = stage(
+        opt1.R_cw, opt1.t_cw, r_narrow, matching.TH_HIGH, 2, 8
+    )
     inlier = res2.valid & opt2.inlier
     return TrackResult(
         R_cw=opt2.R_cw,
