@@ -52,20 +52,25 @@ def main():
         )
         frames.append((il.block_until_ready(), ir.block_until_ready()))
 
-    slam = SlamSystem(cfg)
-    # warmup must drive EVERY code path that jit-compiles (tracking, KF
-    # insertion, local BA, keyframe culling, loop detection): remote/axon
-    # compiles are tens of seconds and must not land in the timed window
-    n_warm = 70
-    for i in range(n_warm):
-        slam.track_stereo(frames[i][0], frames[i][1], i / 20.0)
+    # Two passes over the SAME sequence: pass 1 (throwaway system) drives
+    # every code path that jit-compiles — tracking, KF insertion, local BA,
+    # culling, loop detect/verify/correct — so the timed pass hits only the
+    # in-process executable cache. Remote/axon compiles are tens of seconds
+    # and must not land in the timed window.
+    warm = SlamSystem(cfg)
+    for i in range(n_frames):
+        warm.track_stereo(frames[i][0], frames[i][1], i / 20.0)
+    warm.flush_decisions()
+    jax.block_until_ready(warm.t_cw)
+    del warm
 
+    slam = SlamSystem(cfg)
     t0 = time.time()
-    for i in range(n_warm, n_frames):
+    for i in range(n_frames):
         slam.track_stereo(frames[i][0], frames[i][1], i / 20.0)
     jax.block_until_ready(slam.t_cw)
     wall = time.time() - t0
-    fps = (n_frames - n_warm) / wall
+    fps = n_frames / wall
 
     # sanity: tracking must actually work for the number to count
     from orb_slam3_detailed_comments_kor_tpu.eval import ate

@@ -18,6 +18,7 @@ recall at this map scale).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -60,7 +61,6 @@ class LoopCloser:
         self._consecutive = 0
         self._last_cand = -1
         self.n_loops_closed = 0
-
     # ------------------------------------------------------------------
     def add_keyframe(self, kf_idx: int, desc_bits, valid) -> None:
         """Register a keyframe in the BoW database (KeyFrameDatabase::add)."""
@@ -88,24 +88,27 @@ class LoopCloser:
                         voc.bow_vector(self.vocab, words, v)
                     )
             return
-        words = voc.transform(self.vocab, desc_bits, valid)
-        bow = voc.bow_vector(self.vocab, words, valid)
-        self.bow_db = self.bow_db.at[kf_idx].set(bow)
+        self.bow_db = _add_kf_core(
+            self.bow_db, jnp.int32(kf_idx), desc_bits, valid,
+            self.vocab.centroids, self.vocab.idf,
+            self.vocab.k, self.vocab.depth,
+        )
 
     # ------------------------------------------------------------------
     def detect(self, kf_idx: int, n_kf: int) -> int:
         """BoW candidate + temporal consistency. Returns candidate kf or -1."""
         if self.vocab is None or kf_idx < self.min_gap:
             return -1
-        scores = np.array(
-            voc.score_against_database(self.bow_db[kf_idx], self.bow_db[:n_kf])
-        )  # np.array (copy): np.asarray of a jax array is read-only
-        # exclude temporally-near keyframes (the reference excludes
-        # covisible ones; temporal distance is the stereo-rig equivalent)
-        lo = max(0, kf_idx - self.min_gap)
-        scores[lo: kf_idx + 1] = -1.0
-        cand = int(scores.argmax())
-        if scores[cand] < self.min_score:
+        # one dispatch + one 2-scalar pull; temporally-near keyframes are
+        # masked on device (the reference excludes covisible ones; temporal
+        # distance is the stereo-rig equivalent)
+        cs = np.asarray(
+            _detect_core(
+                self.bow_db, jnp.int32(kf_idx), jnp.int32(n_kf), self.min_gap
+            )
+        )
+        cand, best = int(cs[0]), float(cs[1])
+        if best < self.min_score:
             self._consecutive = 0
             self._last_cand = -1
             return -1
@@ -123,23 +126,14 @@ class LoopCloser:
         """Geometric verification: descriptor match + 3-D Horn RANSAC.
 
         Returns (ok, R, t) with X_correct ≈ R·X_drifted + t (world→world).
+        One fused dispatch + one scalar pull.
         """
-        da = orb_ops.unpack_descriptors(ms.kf_desc[kf_idx])
-        db = orb_ops.unpack_descriptors(ms.kf_desc[cand])
-        va = ms.kf_feat_valid[kf_idx] & (ms.obs_lm[kf_idx] >= 0)
-        vb = ms.kf_feat_valid[cand] & (ms.obs_lm[cand] >= 0)
-        res = matching.match_nn_ratio(da, db, va, vb, max_dist=60, ratio=0.85)
-        feat_b = jnp.clip(res.idx, 0)
-        lm_a = ms.obs_lm[kf_idx]
-        lm_b = ms.obs_lm[cand, feat_b]
-        pair_ok = res.valid & (lm_a >= 0) & (lm_b >= 0)
-        src = ms.lm_pos[jnp.clip(lm_a, 0)]   # current (possibly drifted)
-        dst = ms.lm_pos[jnp.clip(lm_b, 0)]   # loop-side (older, anchored)
-        rr = ransac.sim3_ransac(
-            src, dst, pair_ok, key, n_hyp=192, inlier_th=0.12, fix_scale=True
+        n_inl, R, t = _verify_core(
+            ms.kf_desc, ms.kf_feat_valid, ms.obs_lm, ms.lm_pos,
+            jnp.int32(kf_idx), jnp.int32(cand), key,
         )
-        ok = int(rr.n_inliers) >= self.min_inliers
-        return ok, rr.R, rr.t
+        ok = int(n_inl) >= self.min_inliers
+        return ok, R, t
 
     # ------------------------------------------------------------------
     def correct(
@@ -147,72 +141,17 @@ class LoopCloser:
         R_delta, t_delta, cam_params, bf: float, run_gba: bool = True,
     ) -> msx.MapState:
         """CorrectLoop: pose-graph over the essential graph + landmark
-        re-anchoring + optional global BA."""
-        n_kf = ikf_valid_n
-        K = ms.K
-        # corrected pose of the current keyframe: T_cw' = T_cw ∘ D⁻¹
-        Rd_i, td_i = lie.se3_inverse(R_delta, t_delta)
-        R_corr, t_corr = lie.se3_compose(
-            ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx], Rd_i, td_i
-        )
+        re-anchoring + optional global BA.
 
-        # essential graph edges: temporal chain + strong covisibility
-        i_seq = jnp.arange(n_kf - 1)
-        j_seq = jnp.arange(1, n_kf)
-        e_seq = pose_graph.make_edges_from_poses(
-            i_seq, j_seq, ms.kf_R_cw, ms.kf_t_cw
+        One fused device program over full-capacity arrays (``n_kf`` is a
+        traced scalar) so a session compiles it exactly once — the previous
+        ``[:n_kf]``-sliced formulation recompiled the whole pose-graph + GBA
+        pipeline at every map size it was called with.
+        """
+        ms = _correct_core(
+            ms, jnp.int32(ikf_valid_n), jnp.int32(kf_idx), jnp.int32(cand),
+            R_delta, t_delta, cam_params, jnp.float32(bf), run_gba,
         )
-        cov = msx.covisibility_weights(ms, jnp.arange(n_kf))  # [n_kf, K]
-        cov_np = np.asarray(cov)[:, :n_kf]
-        ii, jj = np.nonzero(np.triu(cov_np, k=2) >= 30)
-        if len(ii) > 0:
-            e_cov = pose_graph.make_edges_from_poses(
-                jnp.asarray(ii), jnp.asarray(jj), ms.kf_R_cw, ms.kf_t_cw
-            )
-            edges = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b]), e_seq, e_cov
-            )
-        else:
-            edges = e_seq
-        # loop edge with the corrected relative measurement, high weight
-        Rj_i, tj_i = lie.se3_inverse(ms.kf_R_cw[cand], ms.kf_t_cw[cand])
-        Rl, tl = lie.se3_compose(R_corr, t_corr, Rj_i, tj_i)
-        e_loop = pose_graph.PoseGraphEdges(
-            i=jnp.array([kf_idx], jnp.int32),
-            j=jnp.array([cand], jnp.int32),
-            R_meas=Rl[None], t_meas=tl[None], s_meas=jnp.ones((1,)),
-            weight=jnp.array([30.0]), valid=jnp.ones((1,), bool),
-        )
-        edges = jax.tree.map(
-            lambda a, b: jnp.concatenate([a, b]), edges, e_loop
-        )
-        fixed = jnp.zeros((n_kf,), bool).at[cand].set(True).at[0].set(True)
-
-        R_old = ms.kf_R_cw
-        t_old = ms.kf_t_cw
-        R_new, t_new = pose_graph.optimize_pose_graph_se3(
-            ms.kf_R_cw[:n_kf], ms.kf_t_cw[:n_kf], edges, fixed, iters=15
-        )
-        ms = ms._replace(
-            kf_R_cw=ms.kf_R_cw.at[:n_kf].set(R_new),
-            kf_t_cw=ms.kf_t_cw.at[:n_kf].set(t_new),
-        )
-
-        # landmark re-anchoring: X' = T_wc_new[a] ∘ T_cw_old[a] (X)
-        anchor = jnp.clip(ms.lm_first_kf, 0, n_kf - 1)
-        Ra_old = R_old[anchor]
-        ta_old = t_old[anchor]
-        Ra_new_i, ta_new_i = lie.se3_inverse(
-            ms.kf_R_cw[anchor], ms.kf_t_cw[anchor]
-        )
-        pc = jnp.einsum("lij,lj->li", Ra_old, ms.lm_pos) + ta_old
-        X_new = jnp.einsum("lij,lj->li", Ra_new_i, pc) + ta_new_i
-        ms = ms._replace(
-            lm_pos=jnp.where(ms.lm_valid[:, None], X_new, ms.lm_pos)
-        )
-
-        if run_gba:
-            ms = self._global_ba(ms, n_kf, cam_params, bf)
         self.n_loops_closed += 1
         # reset consistency tracking
         self._consecutive = 0
@@ -223,25 +162,152 @@ class LoopCloser:
     def _global_ba(self, ms: msx.MapState, n_kf: int, cam_params, bf: float):
         """Full-map BA (GlobalBundleAdjustemnt analog) — viable at current
         capacities in one shot; larger maps will chunk the Schur coupling."""
-        K, N, L = ms.K, ms.N, ms.L
-        kf_col = jnp.broadcast_to(
-            jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
-        )
-        obs_rows = ms.obs_lm
-        feat_ok = ms.kf_feat_valid & (obs_rows >= 0) & ms.kf_valid[:, None]
-        inv_s2 = 1.0 / (1.2 ** (2.0 * ms.kf_level.astype(jnp.float32)))
-        obs = factors.Observations(
-            kf=kf_col.reshape(-1),
-            lm=jnp.clip(obs_rows, 0).reshape(-1),
-            uv=ms.kf_xy.reshape(-1, 2),
-            u_right=ms.kf_ur.reshape(-1),
-            inv_sigma2=inv_s2.reshape(-1),
-            valid=feat_ok.reshape(-1),
-        )
-        fixed_pose = ~ms.kf_valid | (jnp.arange(K) == 0)
-        fixed_point = ~ms.lm_valid
-        res = ba.bundle_adjust(
-            ms.kf_R_cw, ms.kf_t_cw, ms.lm_pos, obs,
-            fixed_pose, fixed_point, cam_params, bf, iters=8,
-        )
-        return ms._replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw, lm_pos=res.X)
+        return _global_ba_core(ms, cam_params, jnp.float32(bf))
+
+
+# fused per-keyframe device programs, module-level so the jit cache is
+# shared across SlamSystem/LoopCloser instances: over a remote device
+# tunnel every eager op costs a full RTT, so each step must be ONE dispatch
+@functools.partial(jax.jit, static_argnames=("k", "depth"))
+def _add_kf_core(db, kf_idx, desc_bits, valid, centroids, idf, k, depth):
+    vocab = voc.Vocabulary(centroids=centroids, k=k, depth=depth, idf=idf)
+    words = voc.transform(vocab, desc_bits, valid)
+    bow = voc.bow_vector(vocab, words, valid)
+    return db.at[kf_idx].set(bow)
+
+
+@functools.partial(jax.jit, static_argnames=("min_gap",))
+def _detect_core(db, kf_idx, n_kf, min_gap):
+    scores = voc.l1_score(db[kf_idx][None, :], db)
+    kk = jnp.arange(db.shape[0])
+    near = (kk > kf_idx - min_gap) & (kk <= kf_idx)
+    scores = jnp.where((kk >= n_kf) | near, -1.0, scores)
+    cand = jnp.argmax(scores)
+    return jnp.stack([cand.astype(jnp.float32), scores[cand]])
+
+
+@jax.jit
+def _verify_core(kf_desc, kf_feat_valid, obs_lm, lm_pos, kf_idx, cand, key):
+    """Descriptor match between two keyframes' landmark features + Horn
+    RANSAC on the matched landmark pairs (Sim3Solver analog, fix_scale)."""
+    da = orb_ops.unpack_descriptors(kf_desc[kf_idx])
+    db = orb_ops.unpack_descriptors(kf_desc[cand])
+    va = kf_feat_valid[kf_idx] & (obs_lm[kf_idx] >= 0)
+    vb = kf_feat_valid[cand] & (obs_lm[cand] >= 0)
+    res = matching.match_nn_ratio(da, db, va, vb, max_dist=60, ratio=0.85)
+    feat_b = jnp.clip(res.idx, 0)
+    lm_a = obs_lm[kf_idx]
+    lm_b = obs_lm[cand, feat_b]
+    pair_ok = res.valid & (lm_a >= 0) & (lm_b >= 0)
+    src = lm_pos[jnp.clip(lm_a, 0)]   # current (possibly drifted)
+    dst = lm_pos[jnp.clip(lm_b, 0)]   # loop-side (older, anchored)
+    rr = ransac.sim3_ransac(
+        src, dst, pair_ok, key, n_hyp=192, inlier_th=0.12, fix_scale=True
+    )
+    return rr.n_inliers, rr.R, rr.t
+
+
+# capacity of strong-covisibility edges in the essential graph; the
+# reference thresholds at weight>=100 for covisibility edges
+# (Optimizer.cc:2113 region) — top-192 by weight is the masked-static form
+_COV_EDGE_CAP = 192
+
+
+@functools.partial(jax.jit, static_argnames=("run_gba",))
+def _correct_core(
+    ms: msx.MapState, n_kf, kf_idx, cand, R_delta, t_delta,
+    cam_params, bf, run_gba: bool,
+):
+    K = ms.K
+    # corrected pose of the current keyframe: T_cw' = T_cw ∘ D⁻¹
+    Rd_i, td_i = lie.se3_inverse(R_delta, t_delta)
+    R_corr, t_corr = lie.se3_compose(
+        ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx], Rd_i, td_i
+    )
+
+    # essential graph edges: temporal chain + strong covisibility + loop,
+    # all at fixed capacity with validity masks
+    i_seq = jnp.arange(K - 1)
+    j_seq = jnp.arange(1, K)
+    e_seq = pose_graph.make_edges_from_poses(
+        i_seq, j_seq, ms.kf_R_cw, ms.kf_t_cw
+    )
+    e_seq = e_seq._replace(valid=j_seq < n_kf)
+
+    cov = msx.covisibility_weights(ms, jnp.arange(K))  # [K, K]
+    kk = jnp.arange(K)
+    in_map = (kk[:, None] < n_kf) & (kk[None, :] < n_kf)
+    upper = kk[None, :] >= kk[:, None] + 2  # skip self + chain neighbours
+    w = jnp.where(in_map & upper, cov, 0)
+    wf = w.reshape(-1)
+    top_w, top_idx = jax.lax.top_k(wf, _COV_EDGE_CAP)
+    ii = (top_idx // K).astype(jnp.int32)
+    jj = (top_idx % K).astype(jnp.int32)
+    e_cov = pose_graph.make_edges_from_poses(
+        ii, jj, ms.kf_R_cw, ms.kf_t_cw
+    )
+    e_cov = e_cov._replace(valid=top_w >= 30)
+
+    Rj_i, tj_i = lie.se3_inverse(ms.kf_R_cw[cand], ms.kf_t_cw[cand])
+    Rl, tl = lie.se3_compose(R_corr, t_corr, Rj_i, tj_i)
+    e_loop = pose_graph.PoseGraphEdges(
+        i=kf_idx[None], j=cand[None],
+        R_meas=Rl[None], t_meas=tl[None], s_meas=jnp.ones((1,)),
+        weight=jnp.array([30.0]), valid=jnp.ones((1,), bool),
+    )
+    edges = jax.tree.map(
+        lambda a, b, c: jnp.concatenate([a, b, c]), e_seq, e_cov, e_loop
+    )
+    # out-of-map slots are held fixed so they contribute nothing
+    fixed = (
+        (kk == cand) | (kk == 0) | (kk >= n_kf) | ~ms.kf_valid
+    )
+
+    R_old = ms.kf_R_cw
+    t_old = ms.kf_t_cw
+    R_new, t_new = pose_graph.optimize_pose_graph_se3(
+        ms.kf_R_cw, ms.kf_t_cw, edges, fixed, iters=15
+    )
+    ms = ms._replace(kf_R_cw=R_new, kf_t_cw=t_new)
+
+    # landmark re-anchoring: X' = T_wc_new[a] ∘ T_cw_old[a] (X)
+    anchor = jnp.clip(ms.lm_first_kf, 0, n_kf - 1)
+    Ra_old = R_old[anchor]
+    ta_old = t_old[anchor]
+    Ra_new_i, ta_new_i = lie.se3_inverse(
+        ms.kf_R_cw[anchor], ms.kf_t_cw[anchor]
+    )
+    pc = jnp.einsum("lij,lj->li", Ra_old, ms.lm_pos) + ta_old
+    X_new = jnp.einsum("lij,lj->li", Ra_new_i, pc) + ta_new_i
+    ms = ms._replace(
+        lm_pos=jnp.where(ms.lm_valid[:, None], X_new, ms.lm_pos)
+    )
+    if run_gba:
+        ms = _global_ba_core(ms, cam_params, bf)
+    return ms
+
+
+@jax.jit
+def _global_ba_core(ms: msx.MapState, cam_params, bf):
+    K, N = ms.K, ms.N
+    kf_col = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
+    )
+    obs_rows = ms.obs_lm
+    feat_ok = ms.kf_feat_valid & (obs_rows >= 0) & ms.kf_valid[:, None]
+    inv_s2 = 1.0 / (1.2 ** (2.0 * ms.kf_level.astype(jnp.float32)))
+    obs = factors.Observations(
+        kf=kf_col.reshape(-1),
+        lm=jnp.clip(obs_rows, 0).reshape(-1),
+        uv=ms.kf_xy.reshape(-1, 2),
+        u_right=ms.kf_ur.reshape(-1),
+        inv_sigma2=inv_s2.reshape(-1),
+        valid=feat_ok.reshape(-1),
+    )
+    fixed_pose = ~ms.kf_valid | (jnp.arange(K) == 0)
+    fixed_point = ~ms.lm_valid
+    res = ba.bundle_adjust(
+        ms.kf_R_cw, ms.kf_t_cw, ms.lm_pos, obs,
+        fixed_pose, fixed_point, cam_params, bf, iters=8,
+    )
+    return ms._replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw, lm_pos=res.X)

@@ -329,9 +329,10 @@ class SlamSystem:
             lc.vocab, voc.transform(lc.vocab, frame.desc, frame.valid),
             frame.valid,
         )
-        scores = np.array(
-            voc.score_against_database(bow, lc.bow_db[: self.n_kf])
-        )
+        # full-capacity scoring with a mask (a [:n_kf] slice would recompile
+        # the scoring program at every map size)
+        scores = np.array(voc.score_against_database(bow, lc.bow_db))
+        scores[self.n_kf:] = -1.0
         cand = int(scores.argmax())
         if scores[cand] < 0.05:
             return False
