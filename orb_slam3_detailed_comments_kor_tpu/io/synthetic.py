@@ -33,16 +33,22 @@ def _texture_lattice(seed: int = 7) -> np.ndarray:
     return rng.rand(_LATTICE_N, _LATTICE_N).astype(np.float32)
 
 
-_LAT = jnp.asarray(_texture_lattice())
+# NOTE: kept as a NUMPY array on purpose: jitted closures over numpy become
+# embedded compile-time constants (free), while closures over committed
+# device arrays permanently degrade every later dispatch in the process to
+# ~30 ms on the TPU runtime in use here (measured).
+_LAT = _texture_lattice()
 
 
 def _tex_nearest(x, y):
+    lat = jnp.asarray(_LAT)  # numpy→traced constant (see note above)
     xi = jnp.mod(jnp.floor(x).astype(jnp.int32), _LATTICE_N)
     yi = jnp.mod(jnp.floor(y).astype(jnp.int32), _LATTICE_N)
-    return _LAT[yi, xi]
+    return lat[yi, xi]
 
 
 def _tex_bilinear(x, y):
+    lat = jnp.asarray(_LAT)  # numpy→traced constant (see note above)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
@@ -51,10 +57,10 @@ def _tex_bilinear(x, y):
     yi = jnp.mod(y0.astype(jnp.int32), _LATTICE_N)
     xi1 = jnp.mod(xi + 1, _LATTICE_N)
     yi1 = jnp.mod(yi + 1, _LATTICE_N)
-    v00 = _LAT[yi, xi]
-    v01 = _LAT[yi, xi1]
-    v10 = _LAT[yi1, xi]
-    v11 = _LAT[yi1, xi1]
+    v00 = lat[yi, xi]
+    v01 = lat[yi, xi1]
+    v10 = lat[yi1, xi]
+    v11 = lat[yi1, xi1]
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 TH_LOW = 50
 TH_HIGH = 100
 HISTO_BINS = 30
-BIG = jnp.float32(1e9)
+# NOTE: must stay a python float, NOT jnp.float32(...). A jitted function
+# that closes over a committed device array (even a scalar) permanently
+# degrades every subsequent dispatch in the process to ~30 ms on the TPU
+# runtime in use here (measured); numpy/python closures are baked as
+# compile-time constants and are free.
+BIG = 1e9
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:

@@ -52,16 +52,19 @@ def _gauss_kernel(ksize: int, sigma: float) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("ksize",))
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
-    """Separable Gaussian blur with reflect padding, [H,W] -> [H,W]."""
+    """Separable Gaussian blur with reflect padding, [...,H,W] -> [...,H,W]
+    (batch dims pass through)."""
     k = _gauss_kernel(ksize, sigma)
     r = ksize // 2
-    p = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
-    # vertical pass: conv along axis 0
+    lead = [(0, 0)] * (img.ndim - 2)
+    ay, ax = img.ndim - 2, img.ndim - 1
+    p = jnp.pad(img, lead + [(r, r), (0, 0)], mode="reflect")
+    # vertical pass
     v = jnp.zeros_like(img)
     for i in range(ksize):
-        v = v + k[i] * jax.lax.dynamic_slice_in_dim(p, i, img.shape[0], axis=0)
-    p = jnp.pad(v, ((0, 0), (r, r)), mode="reflect")
+        v = v + k[i] * jax.lax.dynamic_slice_in_dim(p, i, img.shape[ay], axis=ay)
+    p = jnp.pad(v, lead + [(0, 0), (r, r)], mode="reflect")
     h = jnp.zeros_like(img)
     for i in range(ksize):
-        h = h + k[i] * jax.lax.dynamic_slice_in_dim(p, i, img.shape[1], axis=1)
+        h = h + k[i] * jax.lax.dynamic_slice_in_dim(p, i, img.shape[ax], axis=ax)
     return h

@@ -55,7 +55,7 @@ def _stack_pyramid(pyr):
 
 
 def _sad_refine_atlas(
-    atlas_l: jnp.ndarray,
+    atlas_l,
     atlas_r: jnp.ndarray,
     row_off: jnp.ndarray,
     level_w: jnp.ndarray,
@@ -64,11 +64,19 @@ def _sad_refine_atlas(
     xl: jnp.ndarray,
     yl: jnp.ndarray,
     xr0: jnp.ndarray,
+    left_patches=None,
 ):
-    """SAD subpixel for ALL keypoints in one shot via atlas gathers.
+    """SAD subpixel for ALL keypoints in one shot.
 
     level [K]; xl/yl/xr0 [K] in level-local coords. Returns (du [K], sad [K]).
+    Left 11x11 windows come from ``left_patches`` (the extractor's
+    keypoint-centred [K,48,45] patches) when given — zero extra gathers;
+    right strips are one pallas patch-DMA per keypoint (advanced-index
+    gathers on this runtime cost ~20x more, measured).
     """
+    from orb_slam3_detailed_comments_kor_tpu.ops import pallas_gather as pg
+    from orb_slam3_detailed_comments_kor_tpu.ops.orb import _PC
+
     win = 2 * _W + 1
     K = xl.shape[0]
     w_l = level_w[level]
@@ -78,16 +86,23 @@ def _sad_refine_atlas(
     xri = jnp.clip(jnp.round(xr0).astype(jnp.int32), _W + _L, w_l - _W - _L - 1)
     base = row_off[level] + yi  # atlas row of the kp
 
-    # vmapped dynamic_slice on the atlas (fastest patch access on v5e; see
-    # note in orb._orientation)
-    def slices(b, x, xr):
-        pl = jax.lax.dynamic_slice(atlas_l, (b - _W, x - _W), (win, win))
-        sr = jax.lax.dynamic_slice(
-            atlas_r, (b - _W, xr - _W - _L), (win, win + 2 * _L)
+    if left_patches is not None:
+        patch_l = left_patches[:, _PC - _W:_PC + _W + 1, _PC - _W:_PC + _W + 1]
+        strip_r = pg.gather_patches(
+            atlas_r, base - _W, xri - _W - _L, win, win + 2 * _L
         )
-        return pl, sr
-
-    patch_l, strip_r = jax.vmap(slices)(base, xi, xri)
+    else:
+        dy = jnp.arange(-_W, _W + 1)
+        dxl = jnp.arange(-_W, _W + 1)
+        dxr = jnp.arange(-_W - _L, _W + _L + 1)
+        patch_l = atlas_l[
+            base[:, None, None] + dy[None, :, None],
+            xi[:, None, None] + dxl[None, None, :],
+        ]  # [K,win,win]
+        strip_r = atlas_r[
+            base[:, None, None] + dy[None, :, None],
+            xri[:, None, None] + dxr[None, None, :],
+        ]  # [K,win,win+2L]
     patch_l = patch_l - patch_l[:, _W, _W][:, None, None]
     # slide the 11x11 window across the strip (static unroll, fused by XLA)
     sad_list = []
@@ -118,18 +133,33 @@ def _sad_refine_atlas(
 def compute_stereo_matches(
     left: Features,
     right: Features,
-    pyr_l: List[jnp.ndarray],
-    pyr_r: List[jnp.ndarray],
+    pyr_l,
+    pyr_r,
     bf: float,
     scale: float = 1.2,
     max_row_slack: float = 2.0,
+    level_hw=None,
+    left_patches=None,
 ) -> StereoDepth:
     """Full stereo pipeline over fixed-capacity feature sets.
 
-    pyr_l / pyr_r: the image pyramids (same lists the extractor built —
-    call inside the same jit so XLA shares them).
+    pyr_l / pyr_r: the image pyramids — either a per-level list (legacy) or
+    the padded level stack [NL,Hp,Wp] produced by ``extract_orb_batch``
+    (preferred: the same array the extractor already built, so XLA computes
+    the pyramid exactly once per frame). For the stack form, pass the TRUE
+    per-level shapes via ``level_hw`` (the stack is padded) and optionally
+    the extractor's left-view patches for gather-free SAD windows.
     """
-    n_levels = len(pyr_l)
+    if isinstance(pyr_l, (list, tuple)):
+        n_levels = len(pyr_l)
+        lvl_hw = [(p.shape[0], p.shape[1]) for p in pyr_l]
+    else:
+        from orb_slam3_detailed_comments_kor_tpu.ops import pyramid as _pyr
+
+        n_levels = pyr_l.shape[0]
+        lvl_hw = level_hw or _pyr.level_shapes(
+            pyr_l.shape[1], pyr_l.shape[2], n_levels, scale
+        )
     # --- stage 1: banded Hamming match ----------------------------------
     sigma_l = scale ** left.level.astype(jnp.float32)
     row_gap = jnp.abs(left.xy[:, 1:2] - right.xy[None, :, 1])
@@ -147,14 +177,21 @@ def compute_stereo_matches(
     xr_match = right.xy[best_idx, 0]  # [N] level-0 right u
 
     # --- stage 2: SAD subpixel at each feature's own level ---------------
-    atlas_l, row_off = _stack_pyramid(pyr_l)
-    atlas_r, _ = _stack_pyramid(pyr_r)
-    level_h = jnp.asarray([p.shape[0] for p in pyr_l], jnp.int32)
-    level_w = jnp.asarray([p.shape[1] for p in pyr_l], jnp.int32)
+    if isinstance(pyr_l, (list, tuple)):
+        atlas_l, row_off = _stack_pyramid(pyr_l)
+        atlas_r, _ = _stack_pyramid(pyr_r)
+    else:
+        nl, hh, ww = pyr_l.shape
+        atlas_l = pyr_l.reshape(nl * hh, ww)
+        atlas_r = pyr_r.reshape(nl * hh, ww)
+        row_off = jnp.arange(nl, dtype=jnp.int32) * hh
+    level_h = jnp.asarray([s[0] for s in lvl_hw], jnp.int32)
+    level_w = jnp.asarray([s[1] for s in lvl_hw], jnp.int32)
     s_per = sigma_l  # scale ** level
     du_lvl, sad_all = _sad_refine_atlas(
         atlas_l, atlas_r, row_off, level_w, level_h, left.level,
         left.xy[:, 0] / s_per, left.xy[:, 1] / s_per, xr_match / s_per,
+        left_patches=left_patches,
     )
     du_all = du_lvl * s_per
 

@@ -51,16 +51,27 @@ def process_stereo(
     scale: float = 1.2,
     cell: int = 32,
 ) -> Frame:
-    """imgs [H,W] float32 → Frame. One fused device program per shape."""
-    fl = orb_ops.extract_orb(
-        img_l, n_features=n_features, n_levels=n_levels, scale=scale, cell=cell
+    """imgs [H,W] float32 → Frame. One fused device program per shape.
+
+    Both views go through ONE batched extraction (padded level stack) and
+    the stereo matcher reuses that stack — the pyramid is built exactly
+    once per view per frame.
+    """
+    feats, stack, patches = orb_ops.extract_orb_batch.__wrapped__(
+        jnp.stack([img_l, img_r]),
+        n_features=n_features, n_levels=n_levels, scale=scale, cell=cell,
+        return_stack=True,
     )
-    fr = orb_ops.extract_orb(
-        img_r, n_features=n_features, n_levels=n_levels, scale=scale, cell=cell
+    fl = jax.tree.map(lambda a: a[0], feats)
+    fr = jax.tree.map(lambda a: a[1], feats)
+    n = fl.xy.shape[0]
+    sd = stereo_ops.compute_stereo_matches(
+        fl, fr, stack[0], stack[1], bf, scale,
+        level_hw=pyr_ops.level_shapes(
+            img_l.shape[0], img_l.shape[1], n_levels, scale
+        ),
+        left_patches=patches[:n],
     )
-    pyr_l = pyr_ops.build_pyramid(img_l, n_levels, scale)
-    pyr_r = pyr_ops.build_pyramid(img_r, n_levels, scale)
-    sd = stereo_ops.compute_stereo_matches(fl, fr, pyr_l, pyr_r, bf, scale)
     return Frame(
         xy=fl.xy,
         level=fl.level,

