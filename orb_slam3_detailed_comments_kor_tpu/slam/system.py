@@ -192,23 +192,31 @@ class SlamSystem:
             tr.n_inliers.copy_to_host_async()
         except AttributeError:
             pass
-        pending, self._pending_decision = (
-            getattr(self, "_pending_decision", None),
-            (frame, tr, t),
-        )
-        if pending is not None:
-            self._decide(*pending)
+        # decision pipeline: consume frame i's scalar only after dispatching
+        # frames i+1..i+D — one frame of slack is not enough to cover the
+        # device-tunnel readback (~19 ms/frame of stall measured at D=1)
+        q = getattr(self, "_pending_decisions", None)
+        if q is None:
+            q = self._pending_decisions = []
+        q.append((frame, tr, t))
+        while len(q) > self.decision_depth:
+            self._decide(*q.pop(0))
         if self.state != TrackingState.OK:
             # while degraded, latency is irrelevant — decide synchronously
             # so lost-streak counting and relocalization act on THIS frame
             self.flush_decisions()
 
+    #: frames of slack between a frame's dispatch and its host decision
+    #: (state label + keyframe decision lag by this much — the same latency
+    #: class as the reference's asynchronous LocalMapping queue)
+    decision_depth = 2
+
     def flush_decisions(self) -> None:
         """Resolve deferred decisions (call at sequence end): the pending
-        keyframe/lost decision and the pending loop detection."""
-        pending = getattr(self, "_pending_decision", None)
-        self._pending_decision = None
-        if pending is not None:
+        keyframe/lost decisions and the pending loop detection."""
+        q = getattr(self, "_pending_decisions", None) or []
+        self._pending_decisions = []
+        for pending in q:
             self._decide(*pending)
         self._maybe_close_loop(flush=True)
 
@@ -231,15 +239,14 @@ class SlamSystem:
             # merging re-express the world frame during insertion, and a
             # naive save/restore would clobber that re-basing.
             R_save, t_save = self.R_cw, self.t_cw
-            Ri, ti = lie.se3_inverse(tr.R_cw, tr.t_cw)
-            R_rel, t_rel = lie.se3_compose(R_save, t_save, Ri, ti)
+            R_rel, t_rel = lie.se3_rel(R_save, t_save, tr.R_cw, tr.t_cw)
             self.R_cw, self.t_cw = tr.R_cw, tr.t_cw
             with self.timer.span("mapping/insert_kf"):
                 if self.cfg.is_inertial and self.n_kf > 0:
                     self._insert_keyframe_inertial(frame, t, lm_feat=tr.lm_feat)
                 else:
                     self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
-            self.R_cw, self.t_cw = lie.se3_compose(
+            self.R_cw, self.t_cw = lie.se3_compose_j(
                 R_rel, t_rel, self.R_cw, self.t_cw
             )
             self.inliers_at_last_kf = n_inliers
@@ -531,14 +538,21 @@ class SlamSystem:
         """Queue one IMU sample (Tracking::GrabImuData, ``Tracking.cc:1445``)."""
         self._imu_buf.append((t, np.asarray(acc), np.asarray(gyro)))
 
-    def _preintegrate_since_last_kf(self):
-        """Integrate the queued IMU window at the current bias estimate."""
+    def _preintegrate_since_last_kf(self, t_end: float = None):
+        """Integrate the queued IMU window at the current bias estimate.
+
+        t_end: integrate only samples with timestamp <= t_end (keyframe
+        decisions are deferred by `decision_depth` frames, so at insertion
+        time the buffer already holds samples newer than the keyframe)."""
         from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
 
         cap = self.cfg.capacity.max_imu_per_frame * max(
             self.cfg.tracking.max_frames_between_kf, 1
         )
-        buf = self._imu_buf[:cap]
+        buf = self._imu_buf
+        if t_end is not None:
+            buf = [s for s in buf if s[0] <= t_end]
+        buf = buf[:cap]
         n = len(buf)
         acc = np.zeros((cap, 3), np.float32)
         gyro = np.zeros((cap, 3), np.float32)
@@ -614,7 +628,7 @@ class SlamSystem:
         """KF insertion + preintegration storage + VI init / local VI-BA."""
         from orb_slam3_detailed_comments_kor_tpu.slam import inertial
 
-        pre = self._preintegrate_since_last_kf()
+        pre = self._preintegrate_since_last_kf(t_end=t)
         kf_idx = self.n_kf  # index the KF will get
         self._insert_keyframe_visual_only(frame, t, lm_feat)
         # velocity estimate: prediction if initialized, else finite diff
@@ -629,7 +643,9 @@ class SlamSystem:
                 bg=self.ikf.bg.at[kf_idx].set(self.ikf.bg[kf_idx - 1]),
                 ba=self.ikf.ba.at[kf_idx].set(self.ikf.ba[kf_idx - 1]),
             )
-        self._imu_buf.clear()
+        # keep samples newer than this keyframe (they belong to the NEXT
+        # window — decisions are deferred, so the buffer runs ahead)
+        self._imu_buf = [s for s in self._imu_buf if s[0] > t]
         self._last_kf_time = t
 
         cam = self.cfg.camera

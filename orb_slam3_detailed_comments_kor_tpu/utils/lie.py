@@ -219,6 +219,19 @@ def se3_apply(R, t, x):
     return jnp.einsum("...ij,...j->...i", R, x) + t
 
 
+# Jitted host-side helpers: on a remote-tunnel runtime every eager jnp op
+# is its own ~0.8 ms dispatch, so host pose bookkeeping (keyframe save/
+# restore, loop re-basing) uses these single-dispatch forms.
+se3_compose_j = jax.jit(se3_compose)
+
+
+@jax.jit
+def se3_rel(Ra, ta, Rb, tb):
+    """T_a ∘ T_b⁻¹ in one dispatch."""
+    Ri, ti = se3_inverse(Rb, tb)
+    return se3_compose(Ra, ta, Ri, ti)
+
+
 # ---------------------------------------------------------------------------
 # Sim(3): (R, t, s) with action x -> s·R·x + t  (g2o sim3.h semantics)
 # ---------------------------------------------------------------------------
