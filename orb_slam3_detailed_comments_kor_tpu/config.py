@@ -118,6 +118,11 @@ class TrackingConfig:
     search_radius_local: float = 3.0
     # RANSAC / init
     min_parallax_deg: float = 1.0
+    # IMU-predicted pose prior in per-frame tracking once the IMU is
+    # initialized (PoseInertialOptimizationLastKeyFrame analog,
+    # Optimizer.cc:6697): 1σ trust region of the dead-reckoned prediction
+    imu_prior_sigma_rot: float = 0.02    # rad over one inter-KF window
+    imu_prior_sigma_trans: float = 0.02  # m over one inter-KF window
 
 
 @dataclasses.dataclass(frozen=True)

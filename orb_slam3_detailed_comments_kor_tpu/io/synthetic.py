@@ -238,16 +238,24 @@ class AnalyticTrajectory:
     World frame: x right, y down (gravity +y), z forward into the scene.
     """
 
-    def __init__(self, scale: float = 1.0, gravity: float = 9.81, seed: int = 0):
+    def __init__(self, scale: float = 1.0, gravity: float = 9.81, seed: int = 0,
+                 excitation: float = 1.0):
+        """excitation > 1 multiplies the translation frequencies (peak
+        acceleration grows as excitation²): monocular-inertial scale is
+        only observable when acceleration varies well above the visual
+        noise floor — the same physical requirement that makes the
+        reference demand 2 s of excited MAV motion before mono VI init
+        (``LocalMapping.cc:1574-1607``)."""
         self.g_w = jnp.array([0.0, gravity, 0.0])
         a = scale
+        f = excitation
 
         def pos(t):
             return jnp.stack(
                 [
-                    0.8 * a * jnp.sin(0.50 * t),
-                    0.15 * a * jnp.sin(0.90 * t + 1.0),
-                    0.40 * a * jnp.sin(0.40 * t + 0.3),
+                    0.8 * a * jnp.sin(0.50 * f * t),
+                    0.15 * a * jnp.sin(0.90 * f * t + 1.0),
+                    0.40 * a * jnp.sin(0.40 * f * t + 0.3),
                 ]
             )
 

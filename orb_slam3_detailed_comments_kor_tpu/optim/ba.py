@@ -76,6 +76,7 @@ def pose_optimization(
     bf: float,
     rounds: int = 4,
     iters: int = 10,
+    prior=None,
 ) -> PoseOptResult:
     """Motion-only BA: optimize one pose against fixed 3-D points.
 
@@ -83,6 +84,14 @@ def pose_optimization(
     re-gating between rounds and the robust kernel dropped after round 2
     (``Optimizer.cc:831-1146``).  X [N,3] are matched map points for each
     observation (already gathered), uv/u_right/inv_sigma2/valid are [N].
+
+    prior: optional (R_p, t_p, info_R, info_t) — a whitened 6-DoF pose
+    prior pulling toward an IMU-predicted pose: the single-dispatch
+    equivalent of fusing the preintegration factor into per-frame tracking
+    (``Optimizer::PoseInertialOptimizationLastKeyFrame``,
+    ``Optimizer.cc:6697`` — there the full 15-D state is optimized; here
+    velocity/bias stay at their predicted values and only the pose feels
+    the inertial pull, which is what damps visual jitter).
     """
     n = X.shape[0]
     obs = Observations(
@@ -101,6 +110,31 @@ def pose_optimization(
         )
         return r, row_mask, depth_ok
 
+    def prior_cost(R, t):
+        if prior is None:
+            return jnp.float32(0.0)
+        R_p, t_p, info_R, info_t = prior
+        r_R = lie.so3_log(R @ R_p.T)
+        r_t = t - t_p
+        return info_R * jnp.sum(r_R**2) + info_t * jnp.sum(r_t**2)
+
+    def prior_terms(R, t):
+        """(H_prior [6,6], b_prior [6]) for left-mult se3 update [θ, t]."""
+        R_p, t_p, info_R, info_t = prior
+        r_R = lie.so3_log(R @ R_p.T)   # ∂/∂θ ≈ I
+        r_t = t - t_p                  # ∂/∂θ = −[t]×, ∂/∂δt = I
+        tx = lie.hat(t)
+        H = jnp.zeros((6, 6))
+        H = H.at[:3, :3].set(info_R * jnp.eye(3) + info_t * (tx.T @ tx))
+        H = H.at[:3, 3:].set(-info_t * tx.T)
+        H = H.at[3:, :3].set(-info_t * tx)
+        H = H.at[3:, 3:].set(info_t * jnp.eye(3))
+        b = jnp.concatenate([
+            -info_R * r_R + info_t * (tx.T @ r_t),
+            -info_t * r_t,
+        ])
+        return H, b
+
     def lm_round(carry, round_idx):
         R, t, inlier = carry
         use_huber = round_idx < 2
@@ -118,6 +152,10 @@ def pose_optimization(
             Jp = Jp * row_mask[:, :, None]
             H = jnp.einsum("oij,oik,o->jk", Jp, Jp, w)
             b = -jnp.einsum("oij,oi,o->j", Jp, r, w)
+            if prior is not None:
+                H_pr, b_pr = prior_terms(R, t)
+                H = H + H_pr
+                b = b + b_pr
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
             delta = jnp.linalg.solve(Hd, b)
             dR, dt = lie.se3_exp(delta)
@@ -128,7 +166,7 @@ def pose_optimization(
             cost_new = jnp.sum(
                 jnp.where(use_huber, _robust_cost(chi2_new, delta2), chi2_new)
                 * (active & dok2)
-            )
+            ) + prior_cost(R_new, t_new)
             accept = cost_new < best_cost
             R = jnp.where(accept, R_new, R)
             t = jnp.where(accept, t_new, t)
@@ -142,7 +180,7 @@ def pose_optimization(
         cost0 = jnp.sum(
             jnp.where(use_huber, _robust_cost(chi2_0, delta2), chi2_0)
             * (inlier & valid & dok0)
-        )
+        ) + prior_cost(R, t)
         (R, t, _, _), _ = jax.lax.scan(
             lm_iter, (R, t, jnp.float32(1e-3), cost0), None, length=iters
         )

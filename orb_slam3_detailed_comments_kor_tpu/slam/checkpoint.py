@@ -76,6 +76,7 @@ def save_map(slam: "SlamSystem", path: str) -> None:
         _pack_namedtuple(f"atlas{i}_ms_", m["ms"], out)
         meta[f"atlas{i}_n_kf"] = int(m["n_kf"])
         meta[f"atlas{i}_traj_end"] = int(m["traj_end"])
+        meta[f"atlas{i}_gen"] = int(m.get("gen", -1))
         lc_i = m.get("loop_closer")
         if lc_i is not None and lc_i.bow_db is not None:
             out[f"atlas{i}_bow_db"] = np.asarray(lc_i.bow_db)
@@ -133,6 +134,7 @@ def load_map(slam: "SlamSystem", path: str) -> None:
             "ms": _unpack_namedtuple(f"atlas{i}_ms_", msx.MapState, z),
             "n_kf": meta[f"atlas{i}_n_kf"],
             "traj_end": meta[f"atlas{i}_traj_end"],
+            "gen": meta.get(f"atlas{i}_gen", -1),
             "loop_closer": None,
         }
         if f"atlas{i}_bow_db" in z:

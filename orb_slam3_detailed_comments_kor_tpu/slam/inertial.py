@@ -125,12 +125,15 @@ def initialize_imu(
     g0: jnp.ndarray,
     R_cb: jnp.ndarray,
     t_cb: jnp.ndarray,
+    estimate_scale: bool = False,
 ):
     """IMU init over the whole KF chain (InitializeIMU semantics): solve
-    gravity/bias/velocities with the visual poses fixed, then write the
+    gravity/bias/velocities — and, for monocular input, the metric map
+    scale (``Optimizer::InertialOptimization`` with VertexScale,
+    ``Optimizer.cc:4686``) — with the visual poses fixed, then write the
     result into the inertial KF block.
 
-    Returns (ikf', gravity [3]).
+    Returns (ikf', gravity [3], scale scalar).
     """
     edges = edges_for_range(ikf, 0, n_kf - 1)
     # body poses from camera poses: T_bw = T_bc ∘ T_cw = inv(T_cb) ∘ T_cw
@@ -138,7 +141,8 @@ def initialize_imu(
     R_bw = jnp.einsum("ij,kjl->kil", R_bc, ms.kf_R_cw[:n_kf])
     t_bw = jnp.einsum("ij,kj->ki", R_bc, ms.kf_t_cw[:n_kf]) + t_bc
     res = vi_init.inertial_optimization(
-        R_bw, t_bw, edges, g0, iters=25, prior_g_info=1e2, prior_a_info=1e5
+        R_bw, t_bw, edges, g0, iters=25, prior_g_info=1e2, prior_a_info=1e5,
+        estimate_scale=estimate_scale,
     )
     ks = jnp.arange(n_kf)
     ikf = ikf._replace(
@@ -146,7 +150,7 @@ def initialize_imu(
         bg=ikf.bg.at[ks].set(jnp.broadcast_to(res.bias_g, (n_kf, 3))),
         ba=ikf.ba.at[ks].set(jnp.broadcast_to(res.bias_a, (n_kf, 3))),
     )
-    return ikf, res.gravity
+    return ikf, res.gravity, res.scale
 
 
 @functools.partial(jax.jit, static_argnames=("window", "lm_cap", "iters", "scale"))

@@ -161,35 +161,53 @@ class LoopCloser:
         return -1
 
     # ------------------------------------------------------------------
-    def verify(self, ms: msx.MapState, kf_idx: int, cand: int, key):
+    def verify(self, ms: msx.MapState, kf_idx: int, cand: int, key,
+               fix_scale: bool = True):
         """Geometric verification: descriptor match + 3-D Horn RANSAC.
 
-        Returns (ok, R, t) with X_correct ≈ R·X_drifted + t (world→world).
+        Returns (ok, R, t, s) with X_correct ≈ s·R·X_drifted + t
+        (world→world). fix_scale=False for monocular maps, whose loop
+        discrepancy includes scale drift (``Sim3Solver`` with
+        bFixScale=false, ``LoopClosing.cc:767``).
         One fused dispatch + one scalar pull.
         """
-        n_inl, R, t = _verify_core(
+        n_inl, R, t, s = _verify_core(
             ms.kf_desc, ms.kf_feat_valid, ms.obs_lm, ms.lm_pos,
-            jnp.int32(kf_idx), jnp.int32(cand), key,
+            jnp.int32(kf_idx), jnp.int32(cand), key, fix_scale,
         )
         ok = int(n_inl) >= self.min_inliers
-        return ok, R, t
+        return ok, R, t, s
 
     # ------------------------------------------------------------------
     def correct(
         self, ms: msx.MapState, ikf_valid_n: int, kf_idx: int, cand: int,
         R_delta, t_delta, cam_params, bf: float, run_gba: bool = True,
+        mode: str = "se3", gravity=None, s_delta=None,
     ) -> msx.MapState:
         """CorrectLoop: pose-graph over the essential graph + landmark
         re-anchoring + optional global BA.
+
+        mode selects the essential-graph parametrization, matching the
+        reference's dispatch at ``LoopClosing.cc:1239-1245``:
+        - "sim3": monocular — per-KF scale absorbs scale drift
+          (``Optimizer::OptimizeEssentialGraph``, ``Optimizer.cc:2113``)
+        - "4dof": inertial — only yaw+translation move, gravity (the
+          world direction in ``gravity``) stays observable
+          (``OptimizeEssentialGraph4DoF``, ``Optimizer.cc:7523``)
+        - "se3": stereo / RGB-D
 
         One fused device program over full-capacity arrays (``n_kf`` is a
         traced scalar) so a session compiles it exactly once — the previous
         ``[:n_kf]``-sliced formulation recompiled the whole pose-graph + GBA
         pipeline at every map size it was called with.
         """
+        g = (jnp.array([0.0, 9.81, 0.0]) if gravity is None
+             else jnp.asarray(gravity))
+        sd = jnp.float32(1.0) if s_delta is None else jnp.asarray(s_delta)
         ms = _correct_core(
             ms, jnp.int32(ikf_valid_n), jnp.int32(kf_idx), jnp.int32(cand),
-            R_delta, t_delta, cam_params, jnp.float32(bf), run_gba,
+            R_delta, t_delta, sd, cam_params, jnp.float32(bf), g, run_gba,
+            mode,
         )
         self.n_loops_closed += 1
         # reset consistency tracking
@@ -225,10 +243,11 @@ def _detect_core(db, kf_idx, n_kf, min_gap):
     return jnp.stack([cand.astype(jnp.float32), scores[cand]])
 
 
-@jax.jit
-def _verify_core(kf_desc, kf_feat_valid, obs_lm, lm_pos, kf_idx, cand, key):
+@functools.partial(jax.jit, static_argnames=("fix_scale",))
+def _verify_core(kf_desc, kf_feat_valid, obs_lm, lm_pos, kf_idx, cand, key,
+                 fix_scale: bool = True):
     """Descriptor match between two keyframes' landmark features + Horn
-    RANSAC on the matched landmark pairs (Sim3Solver analog, fix_scale)."""
+    RANSAC on the matched landmark pairs (Sim3Solver analog)."""
     da = orb_ops.unpack_descriptors(kf_desc[kf_idx])
     db = orb_ops.unpack_descriptors(kf_desc[cand])
     va = kf_feat_valid[kf_idx] & (obs_lm[kf_idx] >= 0)
@@ -241,9 +260,10 @@ def _verify_core(kf_desc, kf_feat_valid, obs_lm, lm_pos, kf_idx, cand, key):
     src = lm_pos[jnp.clip(lm_a, 0)]   # current (possibly drifted)
     dst = lm_pos[jnp.clip(lm_b, 0)]   # loop-side (older, anchored)
     rr = ransac.sim3_ransac(
-        src, dst, pair_ok, key, n_hyp=192, inlier_th=0.12, fix_scale=True
+        src, dst, pair_ok, key, n_hyp=192, inlier_th=0.12,
+        fix_scale=fix_scale,
     )
-    return rr.n_inliers, rr.R, rr.t
+    return rr.n_inliers, rr.R, rr.t, rr.s
 
 
 # capacity of strong-covisibility edges in the essential graph; the
@@ -252,16 +272,19 @@ def _verify_core(kf_desc, kf_feat_valid, obs_lm, lm_pos, kf_idx, cand, key):
 _COV_EDGE_CAP = 192
 
 
-@functools.partial(jax.jit, static_argnames=("run_gba",))
+@functools.partial(jax.jit, static_argnames=("run_gba", "mode"))
 def _correct_core(
-    ms: msx.MapState, n_kf, kf_idx, cand, R_delta, t_delta,
-    cam_params, bf, run_gba: bool,
+    ms: msx.MapState, n_kf, kf_idx, cand, R_delta, t_delta, s_delta,
+    cam_params, bf, gravity, run_gba: bool, mode: str = "se3",
 ):
     K = ms.K
-    # corrected pose of the current keyframe: T_cw' = T_cw ∘ D⁻¹
-    Rd_i, td_i = lie.se3_inverse(R_delta, t_delta)
-    R_corr, t_corr = lie.se3_compose(
-        ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx], Rd_i, td_i
+    # corrected Sim3 pose of the current keyframe: S_cw' = S_cw ∘ D⁻¹
+    # (D = (R_delta, t_delta, s_delta), world→world; s_delta = 1 for
+    # stereo/RGB-D/inertial, free for monocular)
+    Rd_i, td_i, sd_i = lie.sim3_inverse(R_delta, t_delta, s_delta)
+    R_corr, t_corr, s_corr = lie.sim3_compose(
+        ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx], jnp.float32(1.0),
+        Rd_i, td_i, sd_i,
     )
 
     # essential graph edges: temporal chain + strong covisibility + loop,
@@ -287,11 +310,15 @@ def _correct_core(
     )
     e_cov = e_cov._replace(valid=top_w >= 30)
 
-    Rj_i, tj_i = lie.se3_inverse(ms.kf_R_cw[cand], ms.kf_t_cw[cand])
-    Rl, tl = lie.se3_compose(R_corr, t_corr, Rj_i, tj_i)
+    Rj_i, tj_i, sj_i = lie.sim3_inverse(
+        ms.kf_R_cw[cand], ms.kf_t_cw[cand], jnp.float32(1.0)
+    )
+    Rl, tl, sl = lie.sim3_compose(
+        R_corr, t_corr, s_corr, Rj_i, tj_i, sj_i
+    )
     e_loop = pose_graph.PoseGraphEdges(
         i=kf_idx[None], j=cand[None],
-        R_meas=Rl[None], t_meas=tl[None], s_meas=jnp.ones((1,)),
+        R_meas=Rl[None], t_meas=tl[None], s_meas=sl[None],
         weight=jnp.array([30.0]), valid=jnp.ones((1,), bool),
     )
     edges = jax.tree.map(
@@ -304,22 +331,40 @@ def _correct_core(
 
     R_old = ms.kf_R_cw
     t_old = ms.kf_t_cw
-    R_new, t_new = pose_graph.optimize_pose_graph_se3(
-        ms.kf_R_cw, ms.kf_t_cw, edges, fixed, iters=15
-    )
-    ms = ms._replace(kf_R_cw=R_new, kf_t_cw=t_new)
+    s_new = jnp.ones((K,))
+    if mode == "sim3":
+        R_new, t_new, s_new = pose_graph.optimize_pose_graph_sim3(
+            ms.kf_R_cw, ms.kf_t_cw, jnp.ones((K,)), edges, fixed, iters=15
+        )
+        # fold the per-KF scale into the SE3 pose: [R | t/s]
+        # (CorrectLoop's eigt /= eigs, LoopClosing.cc:1100 region)
+        ms = ms._replace(kf_R_cw=R_new, kf_t_cw=t_new / s_new[:, None])
+    elif mode == "4dof":
+        R_new, t_new = pose_graph.optimize_pose_graph_4dof(
+            ms.kf_R_cw, ms.kf_t_cw, gravity, edges, fixed, iters=15
+        )
+        ms = ms._replace(kf_R_cw=R_new, kf_t_cw=t_new)
+    else:
+        R_new, t_new = pose_graph.optimize_pose_graph_se3(
+            ms.kf_R_cw, ms.kf_t_cw, edges, fixed, iters=15
+        )
+        ms = ms._replace(kf_R_cw=R_new, kf_t_cw=t_new)
 
-    # landmark re-anchoring: X' = T_wc_new[a] ∘ T_cw_old[a] (X)
+    # landmark re-anchoring: X' = S_new[a]⁻¹ ∘ S_old[a] (X)  (sim3-aware;
+    # s_old = 1 — drift lives in the poses)
     anchor = jnp.clip(ms.lm_first_kf, 0, n_kf - 1)
     Ra_old = R_old[anchor]
     ta_old = t_old[anchor]
-    Ra_new_i, ta_new_i = lie.se3_inverse(
-        ms.kf_R_cw[anchor], ms.kf_t_cw[anchor]
-    )
+    s_a = s_new[anchor]
+    Ra_new_i, ta_new_i = lie.se3_inverse(R_new[anchor], t_new[anchor])
     pc = jnp.einsum("lij,lj->li", Ra_old, ms.lm_pos) + ta_old
-    X_new = jnp.einsum("lij,lj->li", Ra_new_i, pc) + ta_new_i
+    X_new = (
+        jnp.einsum("lij,lj->li", Ra_new_i, pc) + ta_new_i
+    ) / s_a[:, None]
     ms = ms._replace(
-        lm_pos=jnp.where(ms.lm_valid[:, None], X_new, ms.lm_pos)
+        lm_pos=jnp.where(ms.lm_valid[:, None], X_new, ms.lm_pos),
+        lm_min_dist=ms.lm_min_dist / s_a,
+        lm_max_dist=ms.lm_max_dist / s_a,
     )
     if run_gba:
         ms = _global_ba_core(ms, cam_params, bf)

@@ -358,12 +358,22 @@ def merge_into_shelved(
         lc_old.bow_db = db
         slam.loop_closer = lc_old
 
-    # re-anchor the recorded trajectory segment of the young map
-    start = shelf["traj_end"]
-    for k in range(start, len(slam.trajectory)):
-        t, R_cw, t_cw = slam.trajectory[k]
-        R2, t2 = lie.se3_compose(R_cw, t_cw, Rd_i, td_i)
-        slam.trajectory[k] = (t, R2, t2)
+    # Re-anchor trajectory records. Relative records survive a rigid map
+    # transform unchanged (T_f T_kf⁻¹ is D-invariant); the young map's KF
+    # indices moved to kf_dst and the old map's records now belong to the
+    # active generation.
+    old_gen, cur_gen = shelf["gen"], slam._map_gen
+    dst = np.asarray(kf_dst)
+    rewritten = []
+    for (t, g, kf, R_rel, t_rel, R_abs, t_abs) in slam.trajectory:
+        if g == old_gen:
+            rewritten.append((t, cur_gen, kf, R_rel, t_rel, R_abs, t_abs))
+        elif g == cur_gen and kf >= 0:
+            R2, t2 = lie.se3_compose(R_abs, t_abs, Rd_i, td_i)
+            rewritten.append((t, cur_gen, int(dst[kf]), R_rel, t_rel, R2, t2))
+        else:
+            rewritten.append((t, g, kf, R_rel, t_rel, R_abs, t_abs))
+    slam.trajectory = rewritten
 
     del slam.atlas_maps[shelf_idx]
     return True

@@ -162,3 +162,18 @@ def predict_level(
     ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-6), 1e-6)
     lvl = jnp.ceil(jnp.log(ratio) / jnp.log(scale)).astype(jnp.int32)
     return jnp.clip(lvl, 0, n_levels - 1)
+
+
+@jax.jit
+def apply_scale(ms: MapState, s) -> MapState:
+    """Re-gauge the whole map by a scalar scale (the scale part of
+    ``Map::ApplyScaledRotation``, reference ``Map.cc:289``): used after
+    monocular-inertial initialization solves the metric scale. Scaling both
+    landmark positions and keyframe translations leaves every reprojection
+    unchanged while making distances metric."""
+    return ms._replace(
+        lm_pos=ms.lm_pos * s,
+        kf_t_cw=ms.kf_t_cw * s,
+        lm_min_dist=ms.lm_min_dist * s,
+        lm_max_dist=ms.lm_max_dist * s,
+    )

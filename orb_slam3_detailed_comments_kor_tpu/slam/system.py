@@ -60,8 +60,17 @@ class SlamSystem:
         self.inliers_at_last_kf = 0
         self.n_frames = 0
         self.n_lost_frames = 0
-        # trajectory log: (time, R_cw, t_cw) on host
-        self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        # Trajectory log. Frame poses are recorded RELATIVE to their
+        # reference keyframe and composed with the keyframe's FINAL pose at
+        # read time, so late refinements (VI init re-gauge, local/global BA,
+        # loop correction) propagate into the whole trajectory — the
+        # reference's SaveTrajectoryEuRoC recovery scheme (``System.cc:503``,
+        # mlRelativeFramePoses). Entry:
+        #   (time, map_gen, kf_ref, R_rel, t_rel, R_abs, t_abs)
+        # kf_ref < 0 or an unresolvable map_gen (map was reset) falls back
+        # to the absolute record-time pose.
+        self.trajectory: List[tuple] = []
+        self._map_gen = 0
         # Atlas: shelved maps (Atlas::CreateNewMap stores the old map)
         self.atlas_maps: List[dict] = []
         # per-stage tracing (REGISTER_TIMES analog; opt-in, ~zero overhead
@@ -114,10 +123,40 @@ class SlamSystem:
         return -R.T @ t
 
     # ------------------------------------------------------------------
+    # Localization-only mode (System::ActivateLocalizationMode,
+    # ``System.h:121-124`` / ``Tracking::InformOnlyTracking``): tracking
+    # continues against the frozen map, no keyframes are inserted and no
+    # mapping/loop-closing work runs.
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self) -> None:
+        self.flush_decisions()
+        self.localization_only = True
+
+    def deactivate_localization_mode(self) -> None:
+        self.localization_only = False
+
+    localization_only = False
+
+    def _check_timestamp_jump(self, t: float) -> None:
+        """Sensor-dropout guard (``Tracking.cc:1737-1773``): a timestamp
+        gap > 3 s (or going backwards) shelves/resets the active map."""
+        last = getattr(self, "_last_track_time", None)
+        self._last_track_time = t
+        if last is None or self.state == TrackingState.NOT_INITIALIZED:
+            return
+        if t < last or t - last > 3.0:
+            self.flush_decisions()
+            if self.n_kf >= 5:
+                self._create_map_in_atlas()
+            else:
+                self._reset_active_map()
+
+    # ------------------------------------------------------------------
     def track_stereo(self, img_l, img_r, t: float) -> int:
         """Feed one rectified stereo pair. Returns the tracking state."""
         cam = self.cfg.camera
         self.n_frames += 1
+        self._check_timestamp_jump(t)
 
         if self.state == TrackingState.NOT_INITIALIZED:
             frame = frontend.process_stereo(
@@ -135,7 +174,7 @@ class SlamSystem:
                         jnp.asarray(img_r, jnp.float32), t)
 
         # poses stay on device; converted in bulk at evaluation time
-        self.trajectory.append((t, self.R_cw, self.t_cw))
+        self._record_frame(t)
         return self.state
 
     # ------------------------------------------------------------------
@@ -289,6 +328,7 @@ class SlamSystem:
                 "n_kf": self.n_kf,
                 "loop_closer": self.loop_closer,
                 "traj_end": len(self.trajectory),
+                "gen": self._map_gen,
             }
         )
         self._reset_active_map()
@@ -311,6 +351,7 @@ class SlamSystem:
         self.n_lost_frames = 0
         self.state = TrackingState.NOT_INITIALIZED
         self.has_velocity = False
+        self._map_gen += 1
         if self.cfg.is_inertial:
             from orb_slam3_detailed_comments_kor_tpu.slam import inertial
 
@@ -394,6 +435,7 @@ class SlamSystem:
 
         cam = self.cfg.camera
         self.n_frames += 1
+        self._check_timestamp_jump(t)
         frame = frontend.process_mono(
             jnp.asarray(img, jnp.float32),
             n_features=self.cfg.orb.n_features,
@@ -405,7 +447,7 @@ class SlamSystem:
             self._mono_initialize(frame, t)
         else:
             self._track_with_frame(frame, t)
-        self.trajectory.append((t, self.R_cw, self.t_cw))
+        self._record_frame(t)
         return self.state
 
     def _mono_initialize(self, frame: frontend.Frame, t: float) -> None:
@@ -485,6 +527,7 @@ class SlamSystem:
         """Feed one RGB-D frame (gray image [H,W] + metric depth [H,W])."""
         cam = self.cfg.camera
         self.n_frames += 1
+        self._check_timestamp_jump(t)
         frame = frontend.process_rgbd(
             jnp.asarray(img, jnp.float32),
             jnp.asarray(depth_map, jnp.float32),
@@ -498,10 +541,12 @@ class SlamSystem:
             self._stereo_initialize(frame, t)
         else:
             self._track_with_frame(frame, t)
-        self.trajectory.append((t, self.R_cw, self.t_cw))
+        self._record_frame(t)
         return self.state
 
-    def _track_with_frame(self, frame: frontend.Frame, t: float) -> None:
+    def _track_with_frame(
+        self, frame: frontend.Frame, t: float, override_pred=None
+    ) -> None:
         """Unfused track path for pre-extracted frames (RGB-D / reloc)."""
         cam = self.cfg.camera
         if self.has_velocity:
@@ -510,10 +555,24 @@ class SlamSystem:
             )
         else:
             R_pred, t_pred = self.R_cw, self.t_cw
+        if override_pred is not None:
+            R_pred, t_pred = override_pred
+        prior = None
+        if override_pred is not None and self.cfg.is_inertial:
+            # fuse the IMU prediction into the pose solve (the per-frame
+            # visual-inertial optimization, Optimizer.cc:6697): damps the
+            # visual jitter mono tracking suffers without stereo depth
+            tc = self.cfg.tracking
+            prior = (
+                R_pred, t_pred,
+                1.0 / tc.imu_prior_sigma_rot ** 2,
+                1.0 / tc.imu_prior_sigma_trans ** 2,
+            )
         tr = tracking.track_frame(
             self.ms, frame, R_pred, t_pred, self.cam_params, cam.bf,
             w=cam.width, h=cam.height,
             scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+            prior=prior,
         )
         n_inliers = int(tr.n_inliers)
         if n_inliers < self.cfg.tracking.min_inliers_local_map:
@@ -528,7 +587,10 @@ class SlamSystem:
         self.ms = tracking.update_landmark_stats(self.ms, tr)
         self.frames_since_kf += 1
         if self._need_new_keyframe(frame, n_inliers):
-            self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
+            if self.cfg.is_inertial and self.n_kf > 0:
+                self._insert_keyframe_inertial(frame, t, lm_feat=tr.lm_feat)
+            else:
+                self._insert_keyframe(frame, t, lm_feat=tr.lm_feat)
             self.inliers_at_last_kf = n_inliers
 
     # ------------------------------------------------------------------
@@ -552,6 +614,11 @@ class SlamSystem:
         buf = self._imu_buf
         if t_end is not None:
             buf = [s for s in buf if s[0] <= t_end]
+        if self._last_kf_time is not None:
+            # samples at or before the window start belong to PREVIOUS
+            # windows (the mono init path leaves pre-reference-frame samples
+            # in the buffer); integrating them would double-count motion
+            buf = [s for s in buf if s[0] > self._last_kf_time]
         buf = buf[:cap]
         n = len(buf)
         acc = np.zeros((cap, 3), np.float32)
@@ -585,6 +652,7 @@ class SlamSystem:
 
         for s in imu_samples or []:
             self.grab_imu(*s)
+        self._check_timestamp_jump(t)
 
         if self.state == TrackingState.NOT_INITIALIZED:
             st = self.track_stereo(img_l, img_r, t)
@@ -595,22 +663,9 @@ class SlamSystem:
             return st
 
         # IMU prediction for the tracking front-end
-        pre = self._preintegrate_since_last_kf()
-        if self.imu_initialized:
-            kf_idx = self.n_kf - 1
-            R_bc, t_bc = lie.se3_inverse(self.R_cb, self.t_cb)
-            R_bw_kf = R_bc @ self.ms.kf_R_cw[kf_idx]
-            t_bw_kf = R_bc @ self.ms.kf_t_cw[kf_idx] + t_bc
-            R_wb = R_bw_kf.T
-            p_wb = -R_bw_kf.T @ t_bw_kf
-            R2, p2, v2 = imu_ops.predict_state(
-                pre, R_wb, p_wb, self.ikf.vel[kf_idx],
-                self.ikf.bg[kf_idx], self.ikf.ba[kf_idx], self.gravity,
-            )
-            # predicted camera pose: T_cw = T_cb ∘ T_bw,  T_bw = inv(T_wb)
-            R_bw2 = R2.T
-            t_bw2 = -R2.T @ p2
-            R_pred, t_pred = lie.se3_compose(self.R_cb, self.t_cb, R_bw2, t_bw2)
+        pred = self._imu_predicted_pose()
+        if pred is not None:
+            R_pred, t_pred, v2 = pred
             self._track(jnp.asarray(img_l, jnp.float32),
                         jnp.asarray(img_r, jnp.float32), t,
                         override_pred=(R_pred, t_pred))
@@ -621,7 +676,82 @@ class SlamSystem:
 
         self.n_frames += 1
         self._last_frame_time = t
-        self.trajectory.append((t, self.R_cw, self.t_cw))
+        self._record_frame(t)
+        return self.state
+
+    def _imu_predicted_pose(self):
+        """PredictStateIMU (``Tracking.cc:1561``): dead-reckon the camera
+        pose from the last keyframe's VI state through the queued IMU
+        window. Returns (R_pred, t_pred, velocity) or None before init."""
+        from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
+
+        if not self.imu_initialized:
+            return None
+        pre = self._preintegrate_since_last_kf()
+        kf_idx = self.n_kf - 1
+        R_bc, t_bc = lie.se3_inverse(self.R_cb, self.t_cb)
+        R_bw_kf = R_bc @ self.ms.kf_R_cw[kf_idx]
+        t_bw_kf = R_bc @ self.ms.kf_t_cw[kf_idx] + t_bc
+        R_wb = R_bw_kf.T
+        p_wb = -R_bw_kf.T @ t_bw_kf
+        R2, p2, v2 = imu_ops.predict_state(
+            pre, R_wb, p_wb, self.ikf.vel[kf_idx],
+            self.ikf.bg[kf_idx], self.ikf.ba[kf_idx], self.gravity,
+        )
+        # predicted camera pose: T_cw = T_cb ∘ T_bw,  T_bw = inv(T_wb)
+        R_bw2 = R2.T
+        t_bw2 = -R2.T @ p2
+        R_pred, t_pred = lie.se3_compose(self.R_cb, self.t_cb, R_bw2, t_bw2)
+        return R_pred, t_pred, v2
+
+    # ------------------------------------------------------------------
+    # Monocular-inertial mode (System::TrackMonocular with vImuMeas —
+    # the IMU_MONOCULAR sensor, ``System.h:84-90``; VI init additionally
+    # solves the metric scale and re-gauges the map)
+    # ------------------------------------------------------------------
+    def track_mono_inertial(self, img, t: float, imu_samples=None) -> int:
+        """Feed one grayscale frame + the IMU samples since the previous
+        frame. imu_samples: iterable of (t, acc[3], gyro[3])."""
+        from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+        for s in imu_samples or []:
+            self.grab_imu(*s)
+        self._check_timestamp_jump(t)
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            st = self.track_mono(img, t)
+            if self.state == TrackingState.OK:
+                # two-view init created KF0 (at the reference frame's time)
+                # and KF1 (now): store the 0→1 preintegration window
+                t_ref = float(self.ms.kf_time[0])
+                self._last_kf_time = t_ref
+                pre = self._preintegrate_since_last_kf(t_end=t)
+                self.ikf = inertial.store_preintegration(
+                    self.ikf, 1, pre, jnp.zeros(3)
+                )
+                self._imu_buf = [s for s in self._imu_buf if s[0] > t]
+                self._last_kf_time = t
+            self._last_frame_time = t
+            return st
+
+        cam = self.cfg.camera
+        self.n_frames += 1
+        frame = frontend.process_mono(
+            jnp.asarray(img, jnp.float32),
+            n_features=self.cfg.orb.n_features,
+            n_levels=self.cfg.orb.n_levels,
+            scale=self.cfg.orb.scale_factor,
+            cell=self.cfg.orb.cell_size,
+        )
+        pred = self._imu_predicted_pose()
+        if pred is not None:
+            R_pred, t_pred, v2 = pred
+            self._track_with_frame(frame, t, override_pred=(R_pred, t_pred))
+            self.frame_vel = v2
+        else:
+            self._track_with_frame(frame, t)
+        self._last_frame_time = t
+        self._record_frame(t)
         return self.state
 
     def _insert_keyframe_inertial(self, frame, t: float, lm_feat) -> None:
@@ -649,13 +779,40 @@ class SlamSystem:
         self._last_kf_time = t
 
         cam = self.cfg.camera
+        is_mono = self.cfg.sensor == SensorType.IMU_MONOCULAR
+        if is_mono and self.n_kf >= 3:
+            # mono has no stereo depth: triangulate against the most
+            # covisible neighbour (CreateNewMapPoints)
+            feat_b, X_w, want, nb = tracking.triangulate_with_neighbor(
+                self.ms, jnp.int32(kf_idx), self.cam_params,
+                w=cam.width, h=cam.height,
+                scale=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+            )
+            self.ms = tracking.add_triangulated_landmarks(
+                self.ms, jnp.int32(kf_idx), nb, jnp.where(want, feat_b, -1),
+                X_w, want, self.cam_params,
+                scale=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+            )
         if not self.imu_initialized:
             span = float(self.ms.kf_time[self.n_kf - 1] - self.ms.kf_time[0])
-            if self.n_kf >= 8 and span >= 1.0:
-                self.ikf, self.gravity = inertial.initialize_imu(
+            # mono needs a longer baseline before scale is observable
+            # (reference: 1 s stereo / 2 s mono, LocalMapping.cc:1574-1607)
+            need_span = 2.0 if is_mono else 1.0
+            if self.n_kf >= 8 and span >= need_span:
+                ikf2, g2, s = inertial.initialize_imu(
                     self.ms, self.ikf, self.n_kf,
                     self.gravity, self.R_cb, self.t_cb,
+                    estimate_scale=is_mono,
                 )
+                # scale sanity guard (reference aborts init on scale<0.1,
+                # LocalMapping.cc:1689-1698) — retry at the next keyframe
+                if is_mono and not (0.1 < float(s) < 1e3):
+                    return
+                self.ikf, self.gravity = ikf2, g2
+                if is_mono:
+                    self._apply_map_scale(s)
                 self.imu_initialized = True
                 self._init_kf_count = self.n_kf
             elif self.n_kf >= 2:
@@ -674,18 +831,50 @@ class SlamSystem:
             self.ms = tracking.cull_landmarks(self.ms)
             # VIBA1/VIBA2 schedule (LocalMapping.cc:238-295): re-estimate
             # gravity/bias/velocities once more map+motion has accumulated —
-            # the first init inherits the pre-IMU visual drift
+            # the first init inherits the pre-IMU visual drift. Mono also
+            # refines the map scale here (LocalMapping::ScaleRefinement).
             if self.n_kf in (self._init_kf_count + 6, self._init_kf_count + 14):
-                self.ikf, self.gravity = inertial.initialize_imu(
+                ikf2, g2, s = inertial.initialize_imu(
                     self.ms, self.ikf, self.n_kf,
                     self.gravity, self.R_cb, self.t_cb,
+                    estimate_scale=is_mono,
                 )
+                # the map is already metric: a refinement far from 1 means
+                # the solve is noise-dominated — keep the current gauge
+                if not is_mono:
+                    self.ikf, self.gravity = ikf2, g2
+                elif 0.5 < float(s) < 2.0:
+                    self.ikf, self.gravity = ikf2, g2
+                    self._apply_map_scale(s)
             self._maybe_close_loop()
+
+    def _apply_map_scale(self, s) -> None:
+        """Re-gauge map + live pose by the VI-solved metric scale
+        (Map::ApplyScaledRotation scale part, ``Map.cc:289``). The recorded
+        trajectory of the ACTIVE map shares the old gauge and is re-gauged
+        too (the reference gets this for free by storing frame poses
+        relative to their reference KF, ``System.cc:503``)."""
+        self.ms = msx.apply_scale(self.ms, s)
+        self.t_cw = self.t_cw * s
+        self.vel_t = self.vel_t * s
+        # relative offsets + absolute fallbacks of the active map's records
+        # share the old gauge
+        sf = float(s)
+        gen = self._map_gen
+        self.trajectory = [
+            (t, g, kf,
+             R_rel, None if t_rel is None else t_rel * sf,
+             R_abs, t_abs * sf)
+            if g == gen else (t, g, kf, R_rel, t_rel, R_abs, t_abs)
+            for (t, g, kf, R_rel, t_rel, R_abs, t_abs) in self.trajectory
+        ]
 
     def _need_new_keyframe(self, frame: frontend.Frame, n_inliers: int) -> bool:
         """KF decision (``Tracking.cc:3078-3273``, simplified visual c1/c2):
         enough frames passed, or tracking weakened vs the reference KF."""
         tc = self.cfg.tracking
+        if self.localization_only:
+            return False
         if self.n_kf >= self.ms.K - 1:
             return False
         if self.frames_since_kf < max(tc.min_frames_between_kf, 1):
@@ -725,7 +914,11 @@ class SlamSystem:
         Detection is deferred by one keyframe: the BoW score dispatched at
         KF k is consumed when KF k+1 arrives (detect_async), hiding the
         device→host readback behind the next keyframe's work."""
-        if not self.enable_loop_closing:
+        if not self.enable_loop_closing or self.localization_only:
+            return
+        # inertial maps may only be corrected once the IMU is initialized
+        # (gravity/scale observable) — reference guard LoopClosing.cc:366-389
+        if self.cfg.is_inertial and not getattr(self, "imu_initialized", False):
             return
         import jax as _jax
 
@@ -737,8 +930,19 @@ class SlamSystem:
             )
         if cand < 0:
             return
+        # essential-graph parametrization per sensor mode
+        # (LoopClosing.cc:1239-1245): inertial → 4-DoF (gravity stays
+        # observable); mono → Sim3 (scale drift); stereo/RGB-D → SE3
+        if self.cfg.is_inertial and getattr(self, "imu_initialized", False):
+            mode, gravity = "4dof", self.gravity
+        elif self.cfg.sensor == SensorType.MONOCULAR:
+            mode, gravity = "sim3", None
+        else:
+            mode, gravity = "se3", None
         self._loop_key, sub = _jax.random.split(self._loop_key)
-        ok, R_d, t_d = self.loop_closer.verify(self.ms, kf_idx, cand, sub)
+        ok, R_d, t_d, s_d = self.loop_closer.verify(
+            self.ms, kf_idx, cand, sub, fix_scale=(mode != "sim3")
+        )
         if not ok:
             return
         R_kf_old = self.ms.kf_R_cw[kf_idx]
@@ -746,6 +950,7 @@ class SlamSystem:
         self.ms = self.loop_closer.correct(
             self.ms, self.n_kf, kf_idx, cand, R_d, t_d,
             self.cam_params, self.cfg.camera.bf,
+            mode=mode, gravity=gravity, s_delta=s_d,
         )
         # re-base the live tracking pose onto the corrected map:
         # T_track' = T_track ∘ T_kf_old⁻¹ ∘ T_kf_new
@@ -817,11 +1022,45 @@ class SlamSystem:
         checkpoint.load_map(self, path)
 
     # ------------------------------------------------------------------
+    def _record_frame(self, t: float) -> None:
+        """Append one trajectory record (relative to the newest keyframe)."""
+        gen = self._map_gen
+        kf = self.n_kf - 1
+        if kf >= 0:
+            R_rel, t_rel = lie.se3_rel(
+                self.R_cw, self.t_cw, self.ms.kf_R_cw[kf], self.ms.kf_t_cw[kf]
+            )
+        else:
+            R_rel = t_rel = None
+        self.trajectory.append(
+            (t, gen, kf, R_rel, t_rel, self.R_cw, self.t_cw)
+        )
+
     def trajectory_arrays(self):
-        """(times [T], positions_wc [T,3], R_wc [T,3,3]) for evaluation."""
-        ts = np.array([t for t, _, _ in self.trajectory])
-        Rs = np.stack([np.asarray(R) for _, R, _ in self.trajectory])
-        tt = np.stack([np.asarray(t) for _, _, t in self.trajectory])
+        """(times [T], positions_wc [T,3], R_wc [T,3,3]) for evaluation.
+
+        Frame poses are recovered as T_rel ∘ T_kf(final): the reference's
+        trajectory-writer scheme (``System.cc:503``)."""
+        gen_pose = {self._map_gen: (self.ms.kf_R_cw, self.ms.kf_t_cw)}
+        for shelf in self.atlas_maps:
+            gen_pose[shelf["gen"]] = (shelf["ms"].kf_R_cw, shelf["ms"].kf_t_cw)
+        gen_pose = {
+            g: (np.asarray(R), np.asarray(t)) for g, (R, t) in gen_pose.items()
+        }
+        ts, Rs, tt = [], [], []
+        for (t, gen, kf, R_rel, t_rel, R_abs, t_abs) in self.trajectory:
+            ts.append(t)
+            if kf >= 0 and gen in gen_pose:
+                Rk, tk = gen_pose[gen][0][kf], gen_pose[gen][1][kf]
+                Rr = np.asarray(R_rel)
+                Rs.append(Rr @ Rk)
+                tt.append(Rr @ tk + np.asarray(t_rel))
+            else:
+                Rs.append(np.asarray(R_abs))
+                tt.append(np.asarray(t_abs))
+        ts = np.array(ts)
+        Rs = np.stack(Rs)
+        tt = np.stack(tt)
         R_wc = np.transpose(Rs, (0, 2, 1))
         centers = -np.einsum("tij,tj->ti", R_wc, tt)
         return ts, centers, R_wc

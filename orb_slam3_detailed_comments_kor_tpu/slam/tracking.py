@@ -86,6 +86,7 @@ def track_frame(
     r_wide: float = 15.0,
     r_narrow: float = 4.0,
     track_cap: int = 4096,
+    prior=None,
 ) -> TrackResult:
     """Two-stage project→match→optimize. One fused device program.
 
@@ -152,6 +153,7 @@ def track_frame(
             res.valid,
             cam_params, bf,
             rounds=rounds, iters=iters,
+            prior=prior,
         )
         return opt, res, vis
 

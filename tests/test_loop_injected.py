@@ -112,7 +112,7 @@ class TestInjectedLoop:
 
         # ---- verify: Horn RANSAC must recover the injected drift ---------
         key = jax.random.PRNGKey(42)
-        ok, R_est, t_est = lc.verify(ms_drift, kf_idx, cand, key)
+        ok, R_est, t_est, _s = lc.verify(ms_drift, kf_idx, cand, key)
         assert ok, "geometric verification failed"
         # estimated world-warp should be D⁻¹ (drifted → correct)
         rot_err = np.degrees(
