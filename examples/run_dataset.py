@@ -117,11 +117,10 @@ def main(argv=None):
                 ]
             else:
                 samples = None
-            if args.mode == "mono" or args.mode == "mono_inertial":
-                if samples is not None:
-                    for s in samples:
-                        slam.grab_imu(*s)
+            if args.mode == "mono":
                 slam.track_mono(img_l, fr.t)
+            elif args.mode == "mono_inertial":
+                slam.track_mono_inertial(img_l, fr.t, samples)
             elif args.mode == "stereo":
                 slam.track_stereo(img_l, img_r, fr.t)
             else:

@@ -150,6 +150,21 @@ def make_camera(model: str):
     raise ValueError(f"unknown camera model {model!r}")
 
 
+def project(params, xyz, model: str = "pinhole"):
+    """Statically-dispatched projection (GeometricCamera::project)."""
+    return make_camera(model)[0](params, xyz)
+
+
+def unproject(params, uv, model: str = "pinhole"):
+    """Statically-dispatched unprojection to unit-depth rays."""
+    return make_camera(model)[1](params, uv)
+
+
+def project_jac(params, xyz, model: str = "pinhole"):
+    """Statically-dispatched d(uv)/d(xyz) [...,2,3]."""
+    return make_camera(model)[2](params, xyz)
+
+
 def camera_params_from_config(cam) -> jnp.ndarray:
     """Build the params vector from a CameraConfig."""
     if cam.model == "pinhole":

@@ -63,7 +63,7 @@ class PoseOptResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+@functools.partial(jax.jit, static_argnames=("rounds", "iters", "cam_model"))
 def pose_optimization(
     R_cw: jnp.ndarray,
     t_cw: jnp.ndarray,
@@ -77,6 +77,7 @@ def pose_optimization(
     rounds: int = 4,
     iters: int = 10,
     prior=None,
+    cam_model: str = "pinhole",
 ) -> PoseOptResult:
     """Motion-only BA: optimize one pose against fixed 3-D points.
 
@@ -106,7 +107,8 @@ def pose_optimization(
 
     def residual(R, t, active):
         r, row_mask, depth_ok = factors.reproj_residuals(
-            R[None], t[None], X, obs._replace(valid=active), cam_params, bf
+            R[None], t[None], X, obs._replace(valid=active), cam_params, bf,
+            cam_model,
         )
         return r, row_mask, depth_ok
 
@@ -147,7 +149,7 @@ def pose_optimization(
             chi2, w_h, _ = _eval_weights(r, obs, use_huber)
             w = obs.inv_sigma2 * w_h * active
             Jp, _ = factors.reproj_jacobians(
-                R[None], t[None], X, obs, cam_params, bf
+                R[None], t[None], X, obs, cam_params, bf, cam_model
             )
             Jp = Jp * row_mask[:, :, None]
             H = jnp.einsum("oij,oik,o->jk", Jp, Jp, w)
@@ -210,14 +212,17 @@ class BAResult(NamedTuple):
     inlier: jnp.ndarray    # [O] chi2-gate at the end
 
 
-def _build_normal_blocks(R_cw, t_cw, X, obs, cam_params, bf, w_total, row_mask):
+def _build_normal_blocks(R_cw, t_cw, X, obs, cam_params, bf, w_total, row_mask,
+                         cam_model="pinhole"):
     """Per-obs Jacobian blocks + scatter-accumulated Hpp/Hll/b."""
     K = R_cw.shape[0]
     L = X.shape[0]
-    Jp, Jl = factors.reproj_jacobians(R_cw, t_cw, X, obs, cam_params, bf)
+    Jp, Jl = factors.reproj_jacobians(R_cw, t_cw, X, obs, cam_params, bf,
+                                      cam_model)
     Jp = Jp * row_mask[:, :, None]
     Jl = Jl * row_mask[:, :, None]
-    r, _, _ = factors.reproj_residuals(R_cw, t_cw, X, obs, cam_params, bf)
+    r, _, _ = factors.reproj_residuals(R_cw, t_cw, X, obs, cam_params, bf,
+                                       cam_model)
     Hpp = jnp.zeros((K, 6, 6)).at[obs.kf].add(
         w_total[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp)
     )
@@ -236,7 +241,7 @@ def _build_normal_blocks(R_cw, t_cw, X, obs, cam_params, bf, w_total, row_mask):
     return Hpp, Hll, bp, bl, Wpl
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "use_huber"))
+@functools.partial(jax.jit, static_argnames=("iters", "use_huber", "cam_model"))
 def bundle_adjust(
     R_cw: jnp.ndarray,
     t_cw: jnp.ndarray,
@@ -248,6 +253,7 @@ def bundle_adjust(
     bf: float,
     iters: int = 10,
     use_huber: bool = True,
+    cam_model: str = "pinhole",
 ) -> BAResult:
     """Joint pose+structure LM with Schur-complement landmark elimination.
 
@@ -262,7 +268,8 @@ def bundle_adjust(
     delta2 = jnp.where(obs.u_right >= 0, CHI2_STEREO, CHI2_MONO)
 
     def total_cost(R, t, Xc):
-        r, _, dok = factors.reproj_residuals(R, t, Xc, obs, cam_params, bf)
+        r, _, dok = factors.reproj_residuals(R, t, Xc, obs, cam_params, bf,
+                                             cam_model)
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         c = jnp.where(use_huber, _robust_cost(chi2, delta2), chi2)
         return jnp.sum(c * (obs.valid & dok)), chi2
@@ -270,14 +277,14 @@ def bundle_adjust(
     def lm_iter(carry, _):
         R, t, Xc, lam, best_cost = carry
         r, row_mask, depth_ok = factors.reproj_residuals(
-            R, t, Xc, obs, cam_params, bf
+            R, t, Xc, obs, cam_params, bf, cam_model
         )
         chi2, w_h, _ = _eval_weights(r, obs, use_huber)
         w = obs.inv_sigma2 * w_h * (obs.valid & depth_ok)
         # freeze contributions of fixed variables by zeroing their Jacobians
         Hpp, Hll, bp, bl, Wpl = _build_normal_blocks(
             R, t, Xc, obs._replace(valid=obs.valid & depth_ok),
-            cam_params, bf, w, row_mask,
+            cam_params, bf, w, row_mask, cam_model,
         )
         free_p = (~fixed_pose).astype(jnp.float32)
         free_l = (~fixed_point).astype(jnp.float32)

@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from orb_slam3_detailed_comments_kor_tpu.models import camera
 from orb_slam3_detailed_comments_kor_tpu.utils import lie
 
 # chi2 gates at 95% for 2/3 DoF (reference Optimizer.cc:905-908)
@@ -45,11 +46,21 @@ class Observations(NamedTuple):
         return self.kf.shape[0]
 
 
-def project_with_jac(cam_params, pc, bf):
-    """Pinhole projection of camera-frame points with stereo row.
+def project_with_jac(cam_params, pc, bf, model: str = "pinhole"):
+    """Projection of camera-frame points with stereo row, per camera model.
 
     pc [O,3] -> (pred [O,3] = (u,v,u_r), Jproj [O,3,3] = ∂pred/∂pc).
+    For non-pinhole models the stereo row repeats the u row — fisheye
+    observations are mono (u_right < 0 masks row 2), matching the
+    reference where KannalaBrandt8 stereo goes through dedicated
+    two-camera edges instead of the rectified u_r residual.
     """
+    if model != "pinhole":
+        uv = camera.project(cam_params, pc, model)
+        Juv = camera.project_jac(cam_params, pc, model)
+        pred = jnp.concatenate([uv, uv[..., :1]], axis=-1)
+        J = jnp.concatenate([Juv, Juv[..., :1, :]], axis=-2)
+        return pred, J
     fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
     x, y = pc[..., 0], pc[..., 1]
     z = jnp.maximum(pc[..., 2], 1e-6)
@@ -68,7 +79,7 @@ def project_with_jac(cam_params, pc, bf):
 
 
 def reproj_residuals(
-    R_cw, t_cw, X, obs: Observations, cam_params, bf,
+    R_cw, t_cw, X, obs: Observations, cam_params, bf, model: str = "pinhole",
 ):
     """Residuals + per-row validity.
 
@@ -79,7 +90,7 @@ def reproj_residuals(
     tk = t_cw[obs.kf]
     Xo = X[obs.lm]
     pc = jnp.einsum("oij,oj->oi", Rk, Xo) + tk
-    pred, _ = project_with_jac(cam_params, pc, bf)
+    pred, _ = project_with_jac(cam_params, pc, bf, model)
     observed = jnp.concatenate([obs.uv, obs.u_right[:, None]], axis=-1)
     r = observed - pred
     is_stereo = obs.u_right >= 0
@@ -96,13 +107,14 @@ def reproj_residuals(
     return r, row_mask, depth_ok
 
 
-def reproj_jacobians(R_cw, t_cw, X, obs: Observations, cam_params, bf):
+def reproj_jacobians(R_cw, t_cw, X, obs: Observations, cam_params, bf,
+                     model: str = "pinhole"):
     """∂r/∂pose [O,3,6] (ξ=(ρ,φ) left-mult on T_cw) and ∂r/∂X [O,3,3]."""
     Rk = R_cw[obs.kf]
     tk = t_cw[obs.kf]
     Xo = X[obs.lm]
     pc = jnp.einsum("oij,oj->oi", Rk, Xo) + tk
-    _, Jproj = project_with_jac(cam_params, pc, bf)
+    _, Jproj = project_with_jac(cam_params, pc, bf, model)
     # ∂pc/∂ξ = [I | −hat(pc)]; ∂r/∂· = −Jproj @ ∂pc/∂·
     eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3))
     dpc_dxi = jnp.concatenate([eye, -lie.hat(pc)], axis=-1)  # [O,3,6]

@@ -159,7 +159,7 @@ def eval_inertial(st: VIState, edges: InertialEdges, gravity):
     return r, J
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale", "cam_model"))
 def vi_bundle_adjust(
     st: VIState,
     X: jnp.ndarray,
@@ -177,6 +177,7 @@ def vi_bundle_adjust(
     prior_info: jnp.ndarray = None,
     iters: int = 10,
     fix_scale: bool = True,
+    cam_model: str = "pinhole",
 ):
     """Joint VI-LM over K keyframes (15-dim each) + L landmarks.
 
@@ -197,7 +198,8 @@ def vi_bundle_adjust(
 
     def total_cost(stc, Xc):
         R_cw, t_cw = camera_pose(stc)
-        r, _, dok = factors.reproj_residuals(R_cw, t_cw, Xc, obs, cam_params, bf)
+        r, _, dok = factors.reproj_residuals(R_cw, t_cw, Xc, obs, cam_params,
+                                             bf, cam_model)
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         c_vis = jnp.sum(ba._robust_cost(chi2, delta2) * (obs.valid & dok))
         r_in, _ = eval_inertial(stc, edges, gravity)
@@ -221,7 +223,7 @@ def vi_bundle_adjust(
 
         # ---- visual part: same blocks as ba.py, lifted into 15-dim ------
         r, row_mask, depth_ok = factors.reproj_residuals(
-            R_cw, t_cw, Xc, obs, cam_params, bf
+            R_cw, t_cw, Xc, obs, cam_params, bf, cam_model
         )
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         w_h = factors.huber_weight(chi2, delta2)
@@ -232,7 +234,7 @@ def vi_bundle_adjust(
         Xo = Xc[obs.lm]
         pb = jnp.einsum("oij,oj->oi", Rk, Xo) + tk
         pc = jnp.einsum("ij,oj->oi", R_cb, pb) + t_cb
-        _, Jproj = factors.project_with_jac(cam_params, pc, bf)
+        _, Jproj = factors.project_with_jac(cam_params, pc, bf, cam_model)
         eye = jnp.broadcast_to(jnp.eye(3), (pb.shape[0], 3, 3))
         dpb_dxi = jnp.concatenate([eye, -lie.hat(pb)], axis=-1)  # [O,3,6]
         dpc_dxi = jnp.einsum("ij,ojk->oik", R_cb, dpb_dxi)

@@ -153,7 +153,8 @@ def initialize_imu(
     return ikf, res.gravity, res.scale
 
 
-@functools.partial(jax.jit, static_argnames=("window", "lm_cap", "iters", "scale"))
+@functools.partial(jax.jit, static_argnames=("window", "lm_cap", "iters",
+                                              "scale", "cam_model"))
 def local_vi_ba_step(
     ms: msx.MapState,
     ikf: InertialKF,
@@ -167,6 +168,7 @@ def local_vi_ba_step(
     lm_cap: int = 2048,
     iters: int = 6,
     scale: float = 1.2,
+    cam_model: str = "pinhole",
 ):
     """Sliding-temporal-window local inertial BA (LocalInertialBA analog:
     the reference uses the last 10-25 temporally-consecutive KFs,
@@ -250,6 +252,7 @@ def local_vi_ba_step(
         gyro_walk_info=vi_ba.WALK_INFO_CAP,
         acc_walk_info=vi_ba.WALK_INFO_CAP,
         iters=iters,
+        cam_model=cam_model,
     )
 
     # write back: camera poses T_cw = T_cb ∘ T_bw, inertial states, landmarks

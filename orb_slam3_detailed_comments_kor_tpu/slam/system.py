@@ -49,6 +49,7 @@ class SlamSystem:
         )
         self.ms = msx.empty_map(cap.max_keyframes, self.n_feat, cap.max_landmarks)
         self.cam_params = cam_mod.camera_params_from_config(config.camera)
+        self.cam_model = config.camera.model
         self.state = TrackingState.NOT_INITIALIZED
         self.R_cw = jnp.eye(3)
         self.t_cw = jnp.zeros(3)
@@ -396,8 +397,20 @@ class SlamSystem:
         ok3d = res.valid & (lm >= 0)
         X = self.ms.lm_pos[jnp.clip(lm, 0)]
         self._loop_key, sub = _jax.random.split(self._loop_key)
+        uv_obs = frame.xy
+        if self.cam_model != "pinhole":
+            # bearing-space PnP (MLPnP is camera-model-agnostic on bearing
+            # vectors, ``src/MLPnPsolver.cpp``): unproject fisheye pixels to
+            # rays and express them as virtual-pinhole measurements
+            from orb_slam3_detailed_comments_kor_tpu.models import camera as cm
+            rays = cm.unproject(self.cam_params, frame.xy, self.cam_model)
+            fxp = self.cam_params[:4]
+            uv_obs = jnp.stack(
+                [fxp[0] * rays[:, 0] + fxp[2], fxp[1] * rays[:, 1] + fxp[3]],
+                axis=-1,
+            )
         R, t, inl, n = ransac.pnp_ransac(
-            X, frame.xy, ok3d, self.cam_params, sub, n_hyp=192,
+            X, uv_obs, ok3d, self.cam_params, sub, n_hyp=192,
             inlier_px=6.0,
         )
         if int(n) < 15:
@@ -410,6 +423,7 @@ class SlamSystem:
             self.ms, frame, R, t, self.cam_params, cam.bf,
             w=cam.width, h=cam.height,
             scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+            cam_model=self.cam_model,
         )
         # second guided round from the refined pose (the reference iterates
         # SearchByProjection + PoseOptimization when the first round is
@@ -418,6 +432,7 @@ class SlamSystem:
             self.ms, frame, tr.R_cw, tr.t_cw, self.cam_params, cam.bf,
             w=cam.width, h=cam.height,
             scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+            cam_model=self.cam_model,
         )
         if int(tr.n_inliers) < max(50, self.cfg.tracking.min_inliers_local_map):
             return False
@@ -481,9 +496,9 @@ class SlamSystem:
             if t - t_ref > 1.0:
                 self._mono_ref = (frame, t)
             return
-        rays_a = cm.pinhole_unproject(self.cam_params, ref.xy)
-        rays_b = cm.pinhole_unproject(
-            self.cam_params, frame.xy[jnp.clip(res.idx, 0)]
+        rays_a = cm.unproject(self.cam_params, ref.xy, self.cam_model)
+        rays_b = cm.unproject(
+            self.cam_params, frame.xy[jnp.clip(res.idx, 0)], self.cam_model
         )
         self._loop_key, sub = _jax.random.split(self._loop_key)
         th = (1.5 / self.cfg.camera.fx) ** 2
@@ -515,6 +530,7 @@ class SlamSystem:
         self.ms = tracking.local_ba_step(
             self.ms, jnp.int32(1), self.cam_params, self.cfg.camera.bf,
             window=2, lm_cap=self.cfg.capacity.max_local_landmarks, iters=10,
+            cam_model=self.cam_model,
         )
         self.state = TrackingState.OK
         self.inliers_at_last_kf = int(tv.n_good)
@@ -572,7 +588,7 @@ class SlamSystem:
             self.ms, frame, R_pred, t_pred, self.cam_params, cam.bf,
             w=cam.width, h=cam.height,
             scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
-            prior=prior,
+            prior=prior, cam_model=self.cam_model,
         )
         n_inliers = int(tr.n_inliers)
         if n_inliers < self.cfg.tracking.min_inliers_local_map:
@@ -788,6 +804,7 @@ class SlamSystem:
                 w=cam.width, h=cam.height,
                 scale=self.cfg.orb.scale_factor,
                 n_levels=self.cfg.orb.n_levels,
+                cam_model=self.cam_model,
             )
             self.ms = tracking.add_triangulated_landmarks(
                 self.ms, jnp.int32(kf_idx), nb, jnp.where(want, feat_b, -1),
@@ -820,6 +837,7 @@ class SlamSystem:
                     self.ms, jnp.int32(self.n_kf - 1), self.cam_params, cam.bf,
                     window=min(8, self.cfg.capacity.max_local_kfs),
                     lm_cap=self.cfg.capacity.max_local_landmarks,
+                    cam_model=self.cam_model,
                 )
                 self.ms = tracking.cull_landmarks(self.ms)
         else:
@@ -827,6 +845,7 @@ class SlamSystem:
                 self.ms, self.ikf, jnp.int32(self.n_kf - 1), self.gravity,
                 self.cam_params, self.R_cb, self.t_cb, cam.bf,
                 window=10, lm_cap=self.cfg.capacity.max_local_landmarks,
+                cam_model=self.cam_model,
             )
             self.ms = tracking.cull_landmarks(self.ms)
             # VIBA1/VIBA2 schedule (LocalMapping.cc:238-295): re-estimate
@@ -901,6 +920,7 @@ class SlamSystem:
             self.ms, frame, self.R_cw, self.t_cw, jnp.float32(t), kf_idx,
             lm_feat, self.cam_params, depth_far,
             scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
+            cam_model=self.cam_model,
         )
         kf_idx_host = self.n_kf  # python int — avoid a device-scalar sync
         self.n_kf += 1
@@ -972,6 +992,7 @@ class SlamSystem:
                 self.ms, kf_idx, self.cam_params, w=cam.width, h=cam.height,
                 scale=self.cfg.orb.scale_factor,
                 n_levels=self.cfg.orb.n_levels,
+                cam_model=self.cam_model,
             )
             self.ms = tracking.add_triangulated_landmarks(
                 self.ms, kf_idx, nb, jnp.where(want, feat_b, -1), X_w, want,
@@ -983,6 +1004,7 @@ class SlamSystem:
                 self.ms, kf_idx, self.cam_params, cam.bf,
                 window=min(8, self.cfg.capacity.max_local_kfs),
                 lm_cap=self.cfg.capacity.max_local_landmarks,
+                cam_model=self.cam_model,
             )
             self.ms = tracking.cull_landmarks(self.ms)
             # redundant-KF culling (visual mode; the inertial chain keeps

@@ -44,11 +44,12 @@ class TrackResult(NamedTuple):
     n_visible: jnp.ndarray   # scalar (landmarks in frustum)
 
 
-def _project_landmarks(ms, R_cw, t_cw, cam_params, w, h, scale, n_levels):
+def _project_landmarks(ms, R_cw, t_cw, cam_params, w, h, scale, n_levels,
+                       cam_model="pinhole"):
     """Frustum + scale-band visibility for the whole landmark block
     (Frame::isInFrustum analog, ``Frame.h:101``)."""
     pc = ms.lm_pos @ R_cw.T + t_cw
-    uv = cam_mod.pinhole_project(cam_params, pc)
+    uv = cam_mod.project(cam_params, pc, cam_model)
     Ow = -R_cw.T @ t_cw
     delta = ms.lm_pos - Ow
     dist = jnp.linalg.norm(delta, axis=-1)
@@ -69,7 +70,8 @@ def _project_landmarks(ms, R_cw, t_cw, cam_params, w, h, scale, n_levels):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "w", "h", "scale", "n_levels", "r_wide", "r_narrow", "track_cap"
+        "w", "h", "scale", "n_levels", "r_wide", "r_narrow", "track_cap",
+        "cam_model",
     ),
 )
 def track_frame(
@@ -87,6 +89,7 @@ def track_frame(
     r_narrow: float = 4.0,
     track_cap: int = 4096,
     prior=None,
+    cam_model: str = "pinhole",
 ) -> TrackResult:
     """Two-stage project→match→optimize. One fused device program.
 
@@ -100,7 +103,7 @@ def track_frame(
     L = ms.L
     V = track_cap
     uv0, lvl0, vis0 = _project_landmarks(
-        ms, R_pred, t_pred, cam_params, w, h, scale, n_levels
+        ms, R_pred, t_pred, cam_params, w, h, scale, n_levels, cam_model
     )
     # --- compact visible landmarks into V slots (masked static shape) ----
     local = jnp.where(vis0, jnp.cumsum(vis0) - 1, V)
@@ -119,7 +122,7 @@ def track_frame(
     def project_v(R, t):
         """Frustum + scale-band re-check on the compacted window."""
         pc = X_v @ R.T + t
-        uv = cam_mod.pinhole_project(cam_params, pc)
+        uv = cam_mod.project(cam_params, pc, cam_model)
         Ow = -R.T @ t
         delta = X_v - Ow
         dist = jnp.linalg.norm(delta, axis=-1)
@@ -153,7 +156,7 @@ def track_frame(
             res.valid,
             cam_params, bf,
             rounds=rounds, iters=iters,
-            prior=prior,
+            prior=prior, cam_model=cam_model,
         )
         return opt, res, vis
 
@@ -257,7 +260,8 @@ def update_landmark_stats(
     return ms._replace(lm_found=found, lm_visible=visible)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "n_levels"))
+@functools.partial(jax.jit, static_argnames=("scale", "n_levels",
+                                              "cam_model"))
 def make_keyframe(
     ms: msx.MapState,
     frame: Frame,
@@ -270,6 +274,7 @@ def make_keyframe(
     depth_far: float,
     scale: float = 1.2,
     n_levels: int = 8,
+    cam_model: str = "pinhole",
 ) -> msx.MapState:
     """Insert a keyframe + spawn stereo landmarks for unmatched close
     features. lm_feat [L] is the tracking association (feature idx or -1)."""
@@ -301,7 +306,7 @@ def make_keyframe(
     # to 0 would make every rejected feature race to overwrite slot 0)
     sl = jnp.where(got, slots, ms.L)
 
-    rays = cam_mod.pinhole_unproject(cam_params, frame.xy)
+    rays = cam_mod.unproject(cam_params, frame.xy, cam_model)
     pc = rays * frame.depth[:, None]
     R_wc = R_cw.T
     Ow = -R_wc @ t_cw
@@ -345,7 +350,8 @@ def make_keyframe(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "lm_cap", "iters", "scale")
+    jax.jit, static_argnames=("window", "lm_cap", "iters", "scale",
+                              "cam_model")
 )
 def local_ba_step(
     ms: msx.MapState,
@@ -356,6 +362,7 @@ def local_ba_step(
     lm_cap: int = 4096,
     iters: int = 8,
     scale: float = 1.2,
+    cam_model: str = "pinhole",
 ) -> msx.MapState:
     """Covisibility-window local BA with landmark compaction.
 
@@ -424,6 +431,7 @@ def local_ba_step(
         cam_params,
         bf,
         iters=iters,
+        cam_model=cam_model,
     )
 
     # ---- scatter back ----------------------------------------------------
@@ -516,7 +524,8 @@ def add_triangulated_landmarks(
     return ms
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "n_levels", "w", "h"))
+@functools.partial(jax.jit, static_argnames=("scale", "n_levels", "w", "h",
+                                              "cam_model"))
 def triangulate_with_neighbor(
     ms: msx.MapState,
     kf_idx: jnp.ndarray,
@@ -527,6 +536,7 @@ def triangulate_with_neighbor(
     n_levels: int = 8,
     max_reproj_px: float = 2.0,
     min_parallax_cos: float = 0.99998,
+    cam_model: str = "pinhole",
 ):
     """Mapping-time triangulation of a keyframe's unmatched features against
     its most covisible neighbour (CreateNewMapPoints essentials).
@@ -550,8 +560,8 @@ def triangulate_with_neighbor(
     feat_b = jnp.where(res.valid, res.idx, -1)
     fb = jnp.clip(feat_b, 0)
 
-    rays_a = cm.pinhole_unproject(cam_params, ms.kf_xy[kf_idx])
-    rays_b_all = cm.pinhole_unproject(cam_params, ms.kf_xy[nb])
+    rays_a = cm.unproject(cam_params, ms.kf_xy[kf_idx], cam_model)
+    rays_b_all = cm.unproject(cam_params, ms.kf_xy[nb], cam_model)
     rays_b = rays_b_all[fb]
     # relative transform a→b: T_b_a = T_cw_b ∘ inv(T_cw_a)
     Ra, ta = ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx]
@@ -561,9 +571,9 @@ def triangulate_with_neighbor(
     X_a, dep_a, dep_b = twoview.triangulate_midpoint(R_ba, t_ba, rays_a, rays_b)
 
     # gates: cheirality, reprojection in both views, parallax
-    uv_a = cm.pinhole_project(cam_params, X_a)
+    uv_a = cm.project(cam_params, X_a, cam_model)
     X_b = X_a @ R_ba.T + t_ba
-    uv_b = cm.pinhole_project(cam_params, X_b)
+    uv_b = cm.project(cam_params, X_b, cam_model)
     err_a = jnp.linalg.norm(uv_a - ms.kf_xy[kf_idx], axis=-1)
     err_b = jnp.linalg.norm(uv_b - ms.kf_xy[nb, fb], axis=-1)
     sigma_a = scale ** ms.kf_level[kf_idx].astype(jnp.float32)

@@ -133,3 +133,96 @@ class TestInjectedLoop:
             jnp.abs(ms_fixed.kf_t_cw[kf_idx] - ms.kf_t_cw[kf_idx]).max()
         )
         assert err_after < 0.35 * err_before, (err_before, err_after)
+
+
+class TestInjectedSim3Loop:
+    """Monocular-style loop correction: the injected drift includes SCALE
+    (mono maps drift in scale); verification must estimate it
+    (Sim3Solver bFixScale=false) and the Sim3 essential graph must undo it
+    (OptimizeEssentialGraph, Optimizer.cc:2113)."""
+
+    @pytest.fixture(scope="class")
+    def slam(self):
+        return build_map_two_passes()
+
+    def test_injected_sim3_drift_corrected(self, slam):
+        ms = slam.ms
+        n_kf = slam.n_kf
+        kf_idx = n_kf - 1
+        from orb_slam3_detailed_comments_kor_tpu.slam import map_state as msx2
+
+        # ---- inject Sim3 drift: warp late map by D = (R_d, t_d, s_d) -----
+        R_d, t_d = lie.se3_exp(
+            jnp.array([0.05, -0.03, 0.04, 0.012, -0.015, 0.008])
+        )
+        s_d = jnp.float32(1.18)
+        cut = 2 * n_kf // 3
+        late = jnp.arange(ms.K) >= cut
+        # camera pose under a world sim3 warp: S_cw' = S_cw ∘ D⁻¹, folded
+        # to SE3 as [R | t/s]
+        Rd_i, td_i, sd_i = lie.sim3_inverse(R_d, t_d, s_d)
+        R_new, t_new, s_new = lie.sim3_compose(
+            ms.kf_R_cw, ms.kf_t_cw, jnp.ones((ms.K,)),
+            jnp.broadcast_to(Rd_i, (ms.K, 3, 3)),
+            jnp.broadcast_to(td_i, (ms.K, 3)),
+            jnp.broadcast_to(sd_i, (ms.K,)),
+        )
+        t_new = t_new / s_new[:, None]
+        ms_drift = ms._replace(
+            kf_R_cw=jnp.where(late[:, None, None], R_new, ms.kf_R_cw),
+            kf_t_cw=jnp.where(late[:, None], t_new, ms.kf_t_cw),
+        )
+        row = ms.obs_lm[kf_idx]
+        want = row >= 0
+        slots = msx2.allocate_slots(~ms.lm_valid, want)
+        got = slots >= 0
+        sl = jnp.where(got, slots, ms.L)
+        old_lm = jnp.clip(row, 0)
+        X_dup = s_d * (ms.lm_pos[old_lm] @ R_d.T) + t_d
+        ms_drift = ms_drift._replace(
+            lm_pos=ms_drift.lm_pos.at[sl].set(X_dup, mode="drop"),
+            lm_valid=ms_drift.lm_valid.at[sl].set(True, mode="drop"),
+            lm_first_kf=ms_drift.lm_first_kf.at[sl].set(
+                jnp.full((ms.N,), kf_idx, jnp.int32), mode="drop"
+            ),
+            obs_lm=ms_drift.obs_lm.at[kf_idx].set(
+                jnp.where(got, slots, row)
+            ),
+        )
+
+        lc = slam.loop_closer
+        lc._consecutive = 0
+        lc._last_cand = -1
+        from orb_slam3_detailed_comments_kor_tpu.ops import orb as orb_ops
+
+        for k in range(slam.n_kf):
+            lc.add_keyframe(
+                k, orb_ops.unpack_descriptors(ms.kf_desc[k]),
+                ms.kf_feat_valid[k],
+            )
+        cand = -1
+        for _ in range(lc.consistency_needed):
+            cand = lc.detect(kf_idx, n_kf)
+        assert cand >= 0 and cand < cut
+
+        # ---- verify with free scale: must recover s ≈ 1/s_d --------------
+        key = jax.random.PRNGKey(7)
+        ok, R_est, t_est, s_est = lc.verify(
+            ms_drift, kf_idx, cand, key, fix_scale=False
+        )
+        assert ok
+        assert abs(float(s_est) - 1.0 / float(s_d)) < 0.05, float(s_est)
+
+        # ---- correct with the Sim3 essential graph -----------------------
+        ms_fixed = lc.correct(
+            ms_drift, n_kf, kf_idx, cand, R_est, t_est,
+            slam.cam_params, slam.cfg.camera.bf, run_gba=False,
+            mode="sim3", s_delta=s_est,
+        )
+        err_before = float(
+            jnp.abs(ms_drift.kf_t_cw[kf_idx] - ms.kf_t_cw[kf_idx]).max()
+        )
+        err_after = float(
+            jnp.abs(ms_fixed.kf_t_cw[kf_idx] - ms.kf_t_cw[kf_idx]).max()
+        )
+        assert err_after < 0.35 * err_before, (err_before, err_after)
