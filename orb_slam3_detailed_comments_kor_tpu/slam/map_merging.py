@@ -358,6 +358,59 @@ def merge_into_shelved(
         lc_old.bow_db = db
         slam.loop_closer = lc_old
 
+    # --- inertial state weld (MergeLocal2, ``LoopClosing.cc:1837``) -------
+    # old map is the base: its gravity frame wins; current-map velocities
+    # are world vectors and rotate with the map delta (v' = R_d·v)
+    if getattr(slam.cfg, "is_inertial", False) and "ikf" in shelf:
+        ikf_old = shelf["ikf"]
+        ikf_cur = slam.ikf
+        dst_j = jnp.asarray(kf_dst)
+        v_rot = ikf_cur.vel @ R_d.T
+        merged = ikf_old._replace(
+            vel=ikf_old.vel.at[dst_j].set(v_rot, mode="drop"),
+            bg=ikf_old.bg.at[dst_j].set(ikf_cur.bg, mode="drop"),
+            ba=ikf_old.ba.at[dst_j].set(ikf_cur.ba, mode="drop"),
+            pre_dt=ikf_old.pre_dt.at[dst_j].set(ikf_cur.pre_dt, mode="drop"),
+            pre_dR=ikf_old.pre_dR.at[dst_j].set(ikf_cur.pre_dR, mode="drop"),
+            pre_dV=ikf_old.pre_dV.at[dst_j].set(ikf_cur.pre_dV, mode="drop"),
+            pre_dP=ikf_old.pre_dP.at[dst_j].set(ikf_cur.pre_dP, mode="drop"),
+            pre_cov=ikf_old.pre_cov.at[dst_j].set(
+                ikf_cur.pre_cov, mode="drop"
+            ),
+            pre_JRg=ikf_old.pre_JRg.at[dst_j].set(
+                ikf_cur.pre_JRg, mode="drop"
+            ),
+            pre_JVg=ikf_old.pre_JVg.at[dst_j].set(
+                ikf_cur.pre_JVg, mode="drop"
+            ),
+            pre_JVa=ikf_old.pre_JVa.at[dst_j].set(
+                ikf_cur.pre_JVa, mode="drop"
+            ),
+            pre_JPg=ikf_old.pre_JPg.at[dst_j].set(
+                ikf_cur.pre_JPg, mode="drop"
+            ),
+            pre_JPa=ikf_old.pre_JPa.at[dst_j].set(
+                ikf_cur.pre_JPa, mode="drop"
+            ),
+            pre_bg0=ikf_old.pre_bg0.at[dst_j].set(
+                ikf_cur.pre_bg0, mode="drop"
+            ),
+            pre_ba0=ikf_old.pre_ba0.at[dst_j].set(
+                ikf_cur.pre_ba0, mode="drop"
+            ),
+            # the seam edge (old's last KF → cur's first KF) has no
+            # preintegration: cur KF0's pre_valid is already False
+            pre_valid=ikf_old.pre_valid.at[dst_j].set(
+                ikf_cur.pre_valid, mode="drop"
+            ),
+        )
+        slam.ikf = merged
+        if shelf.get("imu_initialized", False):
+            slam.gravity = shelf["gravity"]
+        slam.imu_initialized = (
+            shelf.get("imu_initialized", False) or slam.imu_initialized
+        )
+
     # Re-anchor trajectory records. Relative records survive a rigid map
     # transform unchanged (T_f T_kf⁻¹ is D-invariant); the young map's KF
     # indices moved to kf_dst and the old map's records now belong to the

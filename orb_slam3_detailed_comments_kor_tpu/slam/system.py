@@ -323,15 +323,21 @@ class SlamSystem:
         recognition, LoopClosing.cc:1288)."""
         from orb_slam3_detailed_comments_kor_tpu.slam.loop_closing import LoopCloser
 
-        self.atlas_maps.append(
-            {
-                "ms": self.ms,
-                "n_kf": self.n_kf,
-                "loop_closer": self.loop_closer,
-                "traj_end": len(self.trajectory),
-                "gen": self._map_gen,
-            }
-        )
+        shelf = {
+            "ms": self.ms,
+            "n_kf": self.n_kf,
+            "loop_closer": self.loop_closer,
+            "traj_end": len(self.trajectory),
+            "gen": self._map_gen,
+        }
+        if self.cfg.is_inertial:
+            # inertial maps keep their VI state so a later merge
+            # (MergeLocal2, ``LoopClosing.cc:1837``) can weld the inertial
+            # chains and adopt the old map's gravity frame
+            shelf["ikf"] = self.ikf
+            shelf["gravity"] = self.gravity
+            shelf["imu_initialized"] = self.imu_initialized
+        self.atlas_maps.append(shelf)
         self._reset_active_map()
 
     def _reset_active_map(self) -> None:
@@ -866,6 +872,14 @@ class SlamSystem:
                     self.ikf, self.gravity = ikf2, g2
                     self._apply_map_scale(s)
             self._maybe_close_loop()
+        # Atlas merge across shelved maps (MergeLocal2 for inertial,
+        # LoopClosing.cc:1837) — same detection path as the visual merge;
+        # runs whether or not this young map's IMU is initialized yet
+        if self.atlas_maps and self.enable_loop_closing:
+            from orb_slam3_detailed_comments_kor_tpu.slam import map_merging
+
+            with self.timer.span("mapping/try_merge"):
+                map_merging.try_merge(self)
 
     def _apply_map_scale(self, s) -> None:
         """Re-gauge map + live pose by the VI-solved metric scale
