@@ -52,6 +52,12 @@ class CameraConfig:
     model: str = "pinhole"
     # stereo baseline * fx (reference Camera.bf); 0 for mono
     bf: float = 47.90639384423901
+    # stereo-fisheye (dual KannalaBrandt8, reference ``Frame.cc:1021`` /
+    # TUM_512.yaml Camera2.* + Tlr): right-camera intrinsics
+    # (fx, fy, cx, cy, k1..k4) and the right→left extrinsic Tlr
+    # (row-major 3x4 or 4x4). None = rectified/virtual stereo.
+    right_intrinsics: Optional[Tuple[float, ...]] = None
+    tlr: Optional[Tuple[float, ...]] = None
     fps: float = 20.0
     # depth threshold multiple of baseline for "close" points
     # (reference ThDepth, EuRoC.yaml:44)

@@ -126,6 +126,18 @@ def load_settings(path: str, sensor: int) -> "Settings":
             float(g("Camera.k1", 0.0)), float(g("Camera.k2", 0.0)),
             float(g("Camera.k3", 0.0)), float(g("Camera.k4", 0.0)),
         )
+    # stereo-fisheye: second KB8 camera + right→left extrinsic
+    # (TUM_512.yaml Camera2.* / Tlr)
+    right_intrinsics = None
+    tlr = None
+    if model == "kannala_brandt8" and g("Camera2.fx") is not None:
+        right_intrinsics = tuple(
+            float(g(f"Camera2.{k}", 0.0))
+            for k in ("fx", "fy", "cx", "cy", "k1", "k2", "k3", "k4")
+        )
+        m = g("Tlr")
+        if m is not None:
+            tlr = tuple(np.asarray(m, dtype=np.float64).reshape(-1).tolist())
     camera = cfgm.CameraConfig(
         width=int(g("Camera.width", 752)),
         height=int(g("Camera.height", 480)),
@@ -136,6 +148,8 @@ def load_settings(path: str, sensor: int) -> "Settings":
         dist=dist,
         model=model,
         bf=float(g("Camera.bf", 0.0)),
+        right_intrinsics=right_intrinsics,
+        tlr=tlr,
         fps=float(g("Camera.fps", 20.0)),
         th_depth=float(g("ThDepth", 35.0)),
     )

@@ -145,3 +145,93 @@ def process_mono(
         u_right=-jnp.ones((n,)),
         depth=-jnp.ones((n,)),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale", "cell"),
+)
+def process_stereo_fisheye(
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    params_l: jnp.ndarray,
+    params_r: jnp.ndarray,
+    R_rl: jnp.ndarray,
+    t_rl: jnp.ndarray,
+    n_features: int = 1200,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    cell: int = 32,
+) -> Frame:
+    """Dual-fisheye (KannalaBrandt8 x2) stereo front-end.
+
+    Counterpart of the stereo-fisheye Frame constructor
+    (``src/Frame.cc:1021``) and its descriptor-matcher + triangulation
+    depth path (``Frame.cc:1119`` → ``KannalaBrandt8::TriangulateMatches``,
+    ``KannalaBrandt8.cpp:338``): the two raw fisheye views are NOT
+    rectified; left/right association is a descriptor nearest-neighbour
+    match and depth comes from two-view midpoint triangulation through the
+    calibrated extrinsic (R_rl, t_rl — left→right).
+
+    Design note: matched points carry metric ``depth`` on the LEFT frame
+    and u_right = −1, i.e. downstream optimization uses mono reprojection
+    residuals plus depth-spawned landmarks — the reference instead keeps
+    right-view observations alive through dedicated right-camera edges
+    (``OptimizableTypes.h`` ToBody variants); the depth path preserves the
+    metric scale and the full tracking/BA pipeline at a fraction of the
+    machinery.
+    """
+    from orb_slam3_detailed_comments_kor_tpu.models import camera as cam_mod
+    from orb_slam3_detailed_comments_kor_tpu.ops import (
+        matching as match_ops, twoview,
+    )
+
+    feats = orb_ops.extract_orb_batch.__wrapped__(
+        jnp.stack([img_l, img_r]),
+        n_features=n_features, n_levels=n_levels, scale=scale, cell=cell,
+    )
+    fl = jax.tree.map(lambda a: a[0], feats)
+    fr = jax.tree.map(lambda a: a[1], feats)
+
+    res = match_ops.match_nn_ratio(
+        fl.desc, fr.desc, fl.valid, fr.valid, max_dist=50, ratio=0.8
+    )
+    ridx = jnp.clip(res.idx, 0)
+    rays_l = cam_mod.kb8_unproject(params_l, fl.xy)
+    rays_r = cam_mod.kb8_unproject(params_r, fr.xy)[ridx]
+    X_l, dep_l, dep_r = twoview.triangulate_midpoint(
+        R_rl, t_rl, rays_l, rays_r
+    )
+    # TriangulateMatches gates: cheirality both views, parallax, and
+    # reprojection error in both cameras at the feature's scale sigma
+    uv_l = cam_mod.kb8_project(params_l, X_l)
+    X_r = X_l @ R_rl.T + t_rl
+    uv_r = cam_mod.kb8_project(params_r, X_r)
+    err_l = jnp.linalg.norm(uv_l - fl.xy, axis=-1)
+    err_r = jnp.linalg.norm(uv_r - fr.xy[ridx], axis=-1)
+    sigma = scale ** fl.level.astype(jnp.float32)
+    rl_n = rays_l / jnp.maximum(
+        jnp.linalg.norm(rays_l, axis=-1, keepdims=True), 1e-9
+    )
+    rr_in_l = rays_r @ R_rl  # right rays expressed in the left frame
+    rr_n = rr_in_l / jnp.maximum(
+        jnp.linalg.norm(rr_in_l, axis=-1, keepdims=True), 1e-9
+    )
+    cos_par = jnp.sum(rl_n * rr_n, axis=-1)
+    ok = (
+        res.valid
+        & (dep_l > 0.05) & (dep_r > 0.05)
+        & (err_l < 2.45 * sigma) & (err_r < 2.45 * sigma)
+        & (cos_par < 0.9998)
+    )
+    d = jnp.where(ok, X_l[:, 2], -1.0)
+    return Frame(
+        xy=fl.xy,
+        level=fl.level,
+        angle=fl.angle,
+        desc=fl.desc,
+        desc_packed=orb_ops.pack_descriptors(fl.desc),
+        valid=fl.valid,
+        u_right=-jnp.ones((fl.xy.shape[0],), jnp.float32),
+        depth=d,
+    )

@@ -50,6 +50,22 @@ class SlamSystem:
         self.ms = msx.empty_map(cap.max_keyframes, self.n_feat, cap.max_landmarks)
         self.cam_params = cam_mod.camera_params_from_config(config.camera)
         self.cam_model = config.camera.model
+        # stereo-fisheye: dual KannalaBrandt8 with calibrated extrinsic
+        # (reference Frame.cc:1021; TUM_512.yaml Camera2.* + Tlr)
+        self.stereo_fisheye = (
+            config.camera.model == "kannala_brandt8"
+            and config.camera.right_intrinsics is not None
+        )
+        if self.stereo_fisheye:
+            self.cam_params_r = jnp.asarray(
+                config.camera.right_intrinsics, jnp.float32
+            )
+            T = np.asarray(config.camera.tlr, np.float32).reshape(-1)
+            M = T.reshape(3, 4) if T.size == 12 else T.reshape(4, 4)[:3]
+            R_lr, t_lr = jnp.asarray(M[:, :3]), jnp.asarray(M[:, 3])
+            # Tlr maps right-frame coords to left; triangulation wants the
+            # left→right transform
+            self.R_rl, self.t_rl = lie.se3_inverse(R_lr, t_lr)
         self.state = TrackingState.NOT_INITIALIZED
         self.R_cw = jnp.eye(3)
         self.t_cw = jnp.zeros(3)
@@ -154,10 +170,29 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def track_stereo(self, img_l, img_r, t: float) -> int:
-        """Feed one rectified stereo pair. Returns the tracking state."""
+        """Feed one stereo pair (rectified pinhole, or raw dual-fisheye
+        when the config carries Camera2 intrinsics + Tlr).
+        Returns the tracking state."""
         cam = self.cfg.camera
         self.n_frames += 1
         self._check_timestamp_jump(t)
+
+        if self.stereo_fisheye:
+            frame = frontend.process_stereo_fisheye(
+                jnp.asarray(img_l, jnp.float32),
+                jnp.asarray(img_r, jnp.float32),
+                self.cam_params, self.cam_params_r, self.R_rl, self.t_rl,
+                n_features=self.cfg.orb.n_features,
+                n_levels=self.cfg.orb.n_levels,
+                scale=self.cfg.orb.scale_factor,
+                cell=self.cfg.orb.cell_size,
+            )
+            if self.state == TrackingState.NOT_INITIALIZED:
+                self._stereo_initialize(frame, t)
+            else:
+                self._track_with_frame(frame, t)
+            self._record_frame(t)
+            return self.state
 
         if self.state == TrackingState.NOT_INITIALIZED:
             frame = frontend.process_stereo(
@@ -686,7 +721,23 @@ class SlamSystem:
 
         # IMU prediction for the tracking front-end
         pred = self._imu_predicted_pose()
-        if pred is not None:
+        if self.stereo_fisheye:
+            frame = frontend.process_stereo_fisheye(
+                jnp.asarray(img_l, jnp.float32),
+                jnp.asarray(img_r, jnp.float32),
+                self.cam_params, self.cam_params_r, self.R_rl, self.t_rl,
+                n_features=self.cfg.orb.n_features,
+                n_levels=self.cfg.orb.n_levels,
+                scale=self.cfg.orb.scale_factor,
+                cell=self.cfg.orb.cell_size,
+            )
+            if pred is not None:
+                R_pred, t_pred, v2 = pred
+                self._track_with_frame(frame, t, override_pred=(R_pred, t_pred))
+                self.frame_vel = v2
+            else:
+                self._track_with_frame(frame, t)
+        elif pred is not None:
             R_pred, t_pred, v2 = pred
             self._track(jnp.asarray(img_l, jnp.float32),
                         jnp.asarray(img_r, jnp.float32), t,

@@ -91,3 +91,91 @@ class TestKB8Pipeline:
             else:
                 results[model] = float("inf")
         assert results["kannala_brandt8"] < results["pinhole"], results
+
+
+class TestStereoFisheye:
+    """Dual-KB8 stereo (Frame.cc:1021): descriptor-matched left/right +
+    TriangulateMatches depth gives a METRIC map — verify absolute-scale
+    tracking on synthetic dual-fisheye renders."""
+
+    def _run(self, n=40):
+        import jax.numpy as jnp
+        from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+        base = 0.10
+        # Tlr: right→left — pure x-offset of the right camera
+        tlr = (1.0, 0.0, 0.0, base,
+               0.0, 1.0, 0.0, 0.0,
+               0.0, 0.0, 1.0, 0.0)
+        cfg = fisheye_config()
+        cfg = dataclasses.replace(
+            cfg,
+            sensor=SensorType.STEREO,
+            camera=dataclasses.replace(
+                cfg.camera,
+                bf=base * FX,
+                right_intrinsics=(FX, FX, W / 2.0, H / 2.0) + KB8_DIST,
+                tlr=tlr,
+            ),
+        )
+        slam = SlamSystem(cfg)
+        params = camera.camera_params_from_config(cfg.camera)
+        scene = synthetic.default_scene()
+        Rs, ts = synthetic.make_trajectory(n, motion="strafe", speed=0.04)
+        for i in range(n):
+            R_wc = jnp.asarray(Rs[i])
+            t_wc = jnp.asarray(ts[i])
+            img_l, _ = synthetic.render(
+                params, R_wc, t_wc, scene, h=H, w=W,
+                model="kannala_brandt8",
+            )
+            # right camera center = left center + R_wc·[base,0,0]
+            img_r, _ = synthetic.render(
+                params, R_wc, t_wc + R_wc @ jnp.array([base, 0.0, 0.0]),
+                scene, h=H, w=W, model="kannala_brandt8",
+            )
+            slam.track_stereo(img_l, img_r, i / 20.0)
+        slam.flush_decisions()
+        return slam, ts
+
+    def test_stereo_fisheye_metric_tracking(self):
+        slam, ts = self._run()
+        assert slam.state == TrackingState.OK
+        assert slam.n_kf >= 3
+        _, centers, _ = slam.trajectory_arrays()
+        # metric map: NO scale alignment — absolute ATE must be small
+        rmse = ate.ate_rmse(centers, ts[: len(centers)])
+        assert rmse < 0.05, f"metric ATE {rmse*1000:.1f}mm"
+
+    def test_depth_from_triangulation(self):
+        """Front-end depth must match the rendered ground-truth depth."""
+        import jax.numpy as jnp
+        from orb_slam3_detailed_comments_kor_tpu.slam import frontend
+
+        base = 0.10
+        params = jnp.array([FX, FX, W / 2.0, H / 2.0, *KB8_DIST])
+        scene = synthetic.default_scene()
+        R_wc = jnp.eye(3)
+        t_wc = jnp.zeros(3)
+        img_l, depth_gt = synthetic.render(
+            params, R_wc, t_wc, scene, h=H, w=W, model="kannala_brandt8"
+        )
+        img_r, _ = synthetic.render(
+            params, R_wc, t_wc + jnp.array([base, 0.0, 0.0]), scene,
+            h=H, w=W, model="kannala_brandt8",
+        )
+        fr = frontend.process_stereo_fisheye(
+            img_l, img_r, params, params,
+            jnp.eye(3), jnp.array([-base, 0.0, 0.0]),  # left→right
+            n_features=500, n_levels=8, scale=1.2, cell=20,
+        )
+        ok = np.asarray(fr.depth > 0) & np.asarray(fr.valid)
+        assert ok.sum() > 100, ok.sum()
+        xi = np.clip(np.round(np.asarray(fr.xy[:, 0])).astype(int), 0, W - 1)
+        yi = np.clip(np.round(np.asarray(fr.xy[:, 1])).astype(int), 0, H - 1)
+        d_gt = np.asarray(depth_gt)[yi, xi]
+        rel = np.abs(np.asarray(fr.depth) - d_gt)[ok] / d_gt[ok]
+        # at fx=95 / base=0.1 a 3 m point subtends ~3 px of disparity, so
+        # sub-pixel feature noise alone costs ~10% depth — the bound checks
+        # correctness of the triangulation, not super-resolution
+        assert np.median(rel) < 0.12, np.median(rel)
