@@ -881,9 +881,18 @@ class SlamSystem:
                     estimate_scale=is_mono,
                 )
                 # scale sanity guard (reference aborts init on scale<0.1,
-                # LocalMapping.cc:1689-1698) — retry at the next keyframe
+                # LocalMapping.cc:1689-1698) — retry at the next keyframe;
+                # repeated failures declare the IMU bad and reset the map
+                # (mbBadImu, LocalMapping.cc:170-177 / Tracking.cc:1728)
                 if is_mono and not (0.1 < float(s) < 1e3):
+                    self._imu_init_failures = (
+                        getattr(self, "_imu_init_failures", 0) + 1
+                    )
+                    if self._imu_init_failures >= 8:
+                        self._imu_init_failures = 0
+                        self._reset_active_map()
                     return
+                self._imu_init_failures = 0
                 self.ikf, self.gravity = ikf2, g2
                 if is_mono:
                     self._apply_map_scale(s)
@@ -1151,6 +1160,32 @@ class SlamSystem:
         R_wc = np.transpose(Rs, (0, 2, 1))
         centers = -np.einsum("tij,tj->ti", R_wc, tt)
         return ts, centers, R_wc
+
+    def keyframe_trajectory_arrays(self):
+        """(times, centers_wc, R_wc) of the VALID keyframes of the active
+        map (SaveKeyFrameTrajectoryEuRoC source data, ``System.cc``)."""
+        valid = np.asarray(self.ms.kf_valid[: self.n_kf])
+        ts = np.asarray(self.ms.kf_time[: self.n_kf])[valid]
+        Rs = np.asarray(self.ms.kf_R_cw[: self.n_kf])[valid]
+        tt = np.asarray(self.ms.kf_t_cw[: self.n_kf])[valid]
+        R_wc = np.transpose(Rs, (0, 2, 1))
+        centers = -np.einsum("tij,tj->ti", R_wc, tt)
+        return ts, centers, R_wc
+
+    def save_trajectory(self, path: str, fmt: str = "tum") -> None:
+        """Write the per-frame trajectory (System::SaveTrajectory{TUM,
+        EuRoC,KITTI}, ``System.h:121-177``). fmt: tum | euroc | kitti."""
+        from orb_slam3_detailed_comments_kor_tpu.io import trajectory as tio
+
+        ts, centers, R_wc = self.trajectory_arrays()
+        getattr(tio, f"save_{fmt}")(path, ts, centers, R_wc)
+
+    def save_keyframe_trajectory(self, path: str, fmt: str = "tum") -> None:
+        """Write the keyframe trajectory (System::SaveKeyFrameTrajectory*)."""
+        from orb_slam3_detailed_comments_kor_tpu.io import trajectory as tio
+
+        ts, centers, R_wc = self.keyframe_trajectory_arrays()
+        getattr(tio, f"save_{fmt}")(path, ts, centers, R_wc)
 
     def map_stats(self):
         return {
