@@ -869,6 +869,8 @@ class SlamSystem:
                 scale=self.cfg.orb.scale_factor,
                 n_levels=self.cfg.orb.n_levels,
             )
+        if self.n_kf >= 3:
+            self._fuse_new_duplicates(kf_idx)
         if not self.imu_initialized:
             span = float(self.ms.kf_time[self.n_kf - 1] - self.ms.kf_time[0])
             # mono needs a longer baseline before scale is observable
@@ -940,6 +942,20 @@ class SlamSystem:
 
             with self.timer.span("mapping/try_merge"):
                 map_merging.try_merge(self)
+
+    def _fuse_new_duplicates(self, kf_idx) -> None:
+        """Duplicate-landmark fusion for the newest keyframe's spawns
+        (LocalMapping::SearchInNeighbors → ORBmatcher::Fuse,
+        ``LocalMapping.cc:955``): a just-created landmark within a small
+        3-D radius of an existing one with a matching descriptor is
+        replaced by it."""
+        from orb_slam3_detailed_comments_kor_tpu.slam import map_merging
+
+        new_mask = self.ms.lm_valid & (self.ms.lm_first_kf == kf_idx)
+        radius = max(0.5 * self.baseline, 0.02) if self.baseline > 0 else 0.05
+        self.ms, _ = map_merging.fuse_duplicate_landmarks(
+            self.ms, new_mask, radius=radius
+        )
 
     def _apply_map_scale(self, s) -> None:
         """Re-gauge map + live pose by the VI-solved metric scale
@@ -1074,6 +1090,7 @@ class SlamSystem:
                 n_levels=self.cfg.orb.n_levels,
             )
         if self.n_kf >= 2:
+            self._fuse_new_duplicates(kf_idx)
             self.ms = tracking.local_ba_step(
                 self.ms, kf_idx, self.cam_params, cam.bf,
                 window=min(8, self.cfg.capacity.max_local_kfs),
