@@ -88,6 +88,7 @@ class SlamSystem:
         # to the absolute record-time pose.
         self.trajectory: List[tuple] = []
         self._map_gen = 0
+        self._gen_counter = 0
         # Atlas: shelved maps (Atlas::CreateNewMap stores the old map)
         self.atlas_maps: List[dict] = []
         # per-stage tracing (REGISTER_TIMES analog; opt-in, ~zero overhead
@@ -393,7 +394,8 @@ class SlamSystem:
         self.n_lost_frames = 0
         self.state = TrackingState.NOT_INITIALIZED
         self.has_velocity = False
-        self._map_gen += 1
+        self._gen_counter += 1
+        self._map_gen = self._gen_counter
         if self.cfg.is_inertial:
             from orb_slam3_detailed_comments_kor_tpu.slam import inertial
 
@@ -406,7 +408,36 @@ class SlamSystem:
 
     def _relocalize(self, frame: frontend.Frame) -> bool:
         """BoW candidate + PnP RANSAC recovery (Tracking::Relocalization:
-        DetectRelocalizationCandidates → SearchByBoW → PnP → pose opt)."""
+        DetectRelocalizationCandidates → SearchByBoW → PnP → pose opt).
+
+        Candidates are searched Atlas-wide, like the reference's shared
+        KeyFrameDatabase: if the active map cannot explain the frame but a
+        SHELVED map can, the system switches back to that map."""
+        pose = self._relocalize_in(
+            frame, self.ms, self.loop_closer, self.n_kf
+        )
+        if pose is not None:
+            self.R_cw, self.t_cw = pose
+            self.has_velocity = False
+            return True
+        for idx in range(len(self.atlas_maps) - 1, -1, -1):
+            shelf = self.atlas_maps[idx]
+            if shelf.get("loop_closer") is None:
+                continue
+            pose = self._relocalize_in(
+                frame, shelf["ms"], shelf["loop_closer"], shelf["n_kf"]
+            )
+            if pose is not None:
+                self._switch_to_shelved(idx)
+                self.R_cw, self.t_cw = pose
+                self.has_velocity = False
+                return True
+        return False
+
+    def _relocalize_in(self, frame, ms, lc, n_kf):
+        """Relocalization attempt against one map's database.
+
+        Returns the recovered (R_cw, t_cw) or None."""
         import jax as _jax
 
         from orb_slam3_detailed_comments_kor_tpu.models import vocabulary as voc
@@ -414,9 +445,8 @@ class SlamSystem:
             matching, orb as orb_ops, ransac,
         )
 
-        lc = self.loop_closer
-        if lc.vocab is None or self.n_kf < 1:
-            return False
+        if lc.vocab is None or n_kf < 1:
+            return None
         bow = voc.bow_vector(
             lc.vocab, voc.transform(lc.vocab, frame.desc, frame.valid),
             frame.valid,
@@ -424,19 +454,19 @@ class SlamSystem:
         # full-capacity scoring with a mask (a [:n_kf] slice would recompile
         # the scoring program at every map size)
         scores = np.array(voc.score_against_database(bow, lc.bow_db))
-        scores[self.n_kf:] = -1.0
+        scores[n_kf:] = -1.0
         cand = int(scores.argmax())
         if scores[cand] < 0.05:
-            return False
-        db = orb_ops.unpack_descriptors(self.ms.kf_desc[cand])
-        vb = self.ms.kf_feat_valid[cand] & (self.ms.obs_lm[cand] >= 0)
+            return None
+        db = orb_ops.unpack_descriptors(ms.kf_desc[cand])
+        vb = ms.kf_feat_valid[cand] & (ms.obs_lm[cand] >= 0)
         res = matching.match_nn_ratio(
             frame.desc, db, frame.valid, vb, max_dist=60, ratio=0.8
         )
         feat_b = jnp.clip(res.idx, 0)
-        lm = self.ms.obs_lm[cand, feat_b]
+        lm = ms.obs_lm[cand, feat_b]
         ok3d = res.valid & (lm >= 0)
-        X = self.ms.lm_pos[jnp.clip(lm, 0)]
+        X = ms.lm_pos[jnp.clip(lm, 0)]
         self._loop_key, sub = _jax.random.split(self._loop_key)
         uv_obs = frame.xy
         if self.cam_model != "pinhole":
@@ -455,13 +485,13 @@ class SlamSystem:
             inlier_px=6.0,
         )
         if int(n) < 15:
-            return False
+            return None
         # guided refinement: track the whole map from the PnP pose and
         # require a solid inlier count before accepting (the reference
         # demands >=50 after its guided-matching rounds, Tracking.cc:3940)
         cam = self.cfg.camera
         tr = tracking.track_frame(
-            self.ms, frame, R, t, self.cam_params, cam.bf,
+            ms, frame, R, t, self.cam_params, cam.bf,
             w=cam.width, h=cam.height,
             scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
             cam_model=self.cam_model,
@@ -470,16 +500,49 @@ class SlamSystem:
         # SearchByProjection + PoseOptimization when the first round is
         # usable, Tracking.cc:3860-3940)
         tr = tracking.track_frame(
-            self.ms, frame, tr.R_cw, tr.t_cw, self.cam_params, cam.bf,
+            ms, frame, tr.R_cw, tr.t_cw, self.cam_params, cam.bf,
             w=cam.width, h=cam.height,
             scale=self.cfg.orb.scale_factor, n_levels=self.cfg.orb.n_levels,
             cam_model=self.cam_model,
         )
         if int(tr.n_inliers) < max(50, self.cfg.tracking.min_inliers_local_map):
-            return False
-        self.R_cw, self.t_cw = tr.R_cw, tr.t_cw
-        self.has_velocity = False
-        return True
+            return None
+        return tr.R_cw, tr.t_cw
+
+    def _switch_to_shelved(self, idx: int) -> None:
+        """Re-activate a shelved Atlas map (the reference's map switch when
+        relocalization succeeds in a non-active map). The current active
+        map is shelved in its place if mature, else dropped."""
+        shelf = self.atlas_maps.pop(idx)
+        if self.n_kf >= 5:
+            cur = {
+                "ms": self.ms,
+                "n_kf": self.n_kf,
+                "loop_closer": self.loop_closer,
+                "traj_end": len(self.trajectory),
+                "gen": self._map_gen,
+            }
+            if self.cfg.is_inertial:
+                cur["ikf"] = self.ikf
+                cur["gravity"] = self.gravity
+                cur["imu_initialized"] = self.imu_initialized
+            self.atlas_maps.append(cur)
+        self.ms = shelf["ms"]
+        self.n_kf = shelf["n_kf"]
+        self.loop_closer = shelf["loop_closer"]
+        self._map_gen = shelf["gen"]
+        self.frames_since_kf = 0
+        self.n_lost_frames = 0
+        if self.cfg.is_inertial and "ikf" in shelf:
+            self.ikf = shelf["ikf"]
+            self.gravity = shelf["gravity"]
+            self.imu_initialized = shelf["imu_initialized"]
+            self._imu_buf.clear()
+            self._last_kf_time = getattr(self, "_last_track_time", None)
+            # the shelved map's last-KF velocity is stale: let the visual
+            # motion model re-seed tracking for a couple of frames before
+            # trusting IMU dead-reckoning again
+            self._suppress_imu_pred = 2
 
     # ------------------------------------------------------------------
     # Monocular mode (System::TrackMonocular analog)
@@ -759,6 +822,11 @@ class SlamSystem:
         from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
 
         if not self.imu_initialized:
+            return None
+        if getattr(self, "_suppress_imu_pred", 0) > 0:
+            self._suppress_imu_pred -= 1
+            return None
+        if self._last_kf_time is None:
             return None
         pre = self._preintegrate_since_last_kf()
         kf_idx = self.n_kf - 1
