@@ -606,7 +606,7 @@ class SlamSystem:
         )
         self._loop_key, sub = _jax.random.split(self._loop_key)
         th = (1.5 / self.cfg.camera.fx) ** 2
-        tv = twoview.reconstruct_two_views(
+        tv = twoview.reconstruct_two_views_hf(
             rays_a, rays_b, res.valid, sub, n_hyp=256, inlier_th=th
         )
         if not bool(tv.ok):

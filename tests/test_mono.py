@@ -73,3 +73,53 @@ class TestMonoSlam:
         # mono is up-to-scale: align WITH scale
         rmse = ate.ate_rmse(centers, ts[: len(centers)], with_scale=True)
         assert rmse < 0.05, f"scale-aligned ATE {rmse*1000:.1f}mm"
+
+
+class TestHomographyInit:
+    def test_planar_scene_homography_model(self):
+        """On a purely planar scene E is degenerate; the H pipeline must
+        recover the motion (ReconstructH / Faugeras decomposition)."""
+        key = jax.random.PRNGKey(3)
+        # points on the plane z = 4 + 0.3x + 0.2y
+        uv = jax.random.uniform(key, (300, 2), minval=-1.5, maxval=1.5)
+        X = jnp.stack(
+            [uv[:, 0] * 2.0, uv[:, 1] * 1.5,
+             4.0 + 0.3 * uv[:, 0] + 0.2 * uv[:, 1]], axis=-1
+        )
+        R_gt = lie.so3_exp(jnp.array([0.03, -0.06, 0.02]))
+        t_gt = jnp.array([0.4, 0.1, 0.05])
+        rays_a = X / X[:, 2:3]
+        Xb = X @ R_gt.T + t_gt
+        rays_b = Xb / Xb[:, 2:3]
+        tv = twoview.reconstruct_two_views_hf(
+            rays_a, rays_b, jnp.ones((300,), bool), key, inlier_th=1e-8
+        )
+        assert bool(tv.ok)
+        rot_err = np.degrees(
+            np.linalg.norm(np.asarray(lie.so3_log(tv.R_ba @ R_gt.T)))
+        )
+        assert rot_err < 1.0, rot_err
+        t_u = t_gt / jnp.linalg.norm(t_gt)
+        cos = float(jnp.abs(tv.t_ba @ t_u))
+        assert cos > 0.995, cos
+
+    def test_general_scene_unchanged(self):
+        """Non-planar scenes must keep the essential-matrix solution."""
+        key = jax.random.PRNGKey(13)
+        X = jax.random.uniform(
+            key, (200, 3), minval=jnp.array([-2.0, -1.5, 2.0]),
+            maxval=jnp.array([2.0, 1.5, 6.0]),
+        )
+        R_gt = lie.so3_exp(jnp.array([0.02, -0.05, 0.01]))
+        t_gt = jnp.array([0.3, 0.05, 0.1])
+        rays_a = X / X[:, 2:3]
+        Xb = X @ R_gt.T + t_gt
+        rays_b = Xb / Xb[:, 2:3]
+        tv = twoview.reconstruct_two_views_hf(
+            rays_a, rays_b, jnp.ones((200,), bool), key, inlier_th=1e-8
+        )
+        assert bool(tv.ok)
+        rot_err = np.degrees(
+            np.linalg.norm(np.asarray(lie.so3_log(tv.R_ba @ R_gt.T)))
+        )
+        assert rot_err < 0.5, rot_err
