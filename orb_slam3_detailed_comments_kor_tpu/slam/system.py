@@ -263,43 +263,68 @@ class SlamSystem:
         self.vel_R, self.vel_t = vel_R, vel_t
         self.has_velocity = True
         self.frames_since_kf += 1
-        # start the device→host copy of the decision scalar in background
-        try:
-            tr.n_inliers.copy_to_host_async()
-        except AttributeError:
-            pass
-        # decision pipeline: consume frame i's scalar only after dispatching
-        # frames i+1..i+D — one frame of slack is not enough to cover the
-        # device-tunnel readback (~19 ms/frame of stall measured at D=1)
+        # Decision pipeline, batched: a device→host readback through a
+        # remote device tunnel costs a full RTT (~25 ms measured), so
+        # reading each frame's n_inliers scalar individually caps tracking
+        # at ~1/RTT fps no matter how fast the device programs are. The
+        # scalars of `decision_batch` consecutive frames are stacked into
+        # ONE device array (one tiny program) and fetched with ONE read;
+        # the read itself is double-buffered (copy_to_host_async now,
+        # np.asarray one batch later) so the RTT overlaps the next batch's
+        # frame dispatches. Decisions (state label + keyframe choice) lag
+        # by up to 2×batch frames — the same latency class as the
+        # reference's asynchronous LocalMapping queue.
         q = getattr(self, "_pending_decisions", None)
         if q is None:
             q = self._pending_decisions = []
+            self._inflight_decisions = None
         q.append((frame, tr, t))
-        while len(q) > self.decision_depth:
-            self._decide(*q.pop(0))
         if self.state != TrackingState.OK:
             # while degraded, latency is irrelevant — decide synchronously
             # so lost-streak counting and relocalization act on THIS frame
             self.flush_decisions()
+            return
+        B = self.decision_batch
+        if len(q) >= B:
+            batch, self._pending_decisions = q[:B], q[B:]
+            stacked = jnp.stack([it[1].n_inliers for it in batch])
+            try:
+                stacked.copy_to_host_async()
+            except AttributeError:
+                pass
+            inflight = self._inflight_decisions
+            self._inflight_decisions = (batch, stacked)
+            if inflight is not None:
+                self._consume_decisions(*inflight)
 
-    #: frames of slack between a frame's dispatch and its host decision
-    #: (state label + keyframe decision lag by this much — the same latency
-    #: class as the reference's asynchronous LocalMapping queue)
-    decision_depth = 2
+    #: frames whose decision scalars are fetched with one batched readback
+    decision_batch = 4
+
+    def _consume_decisions(self, batch, stacked) -> None:
+        with self.timer.span("track/decide_sync"):
+            ns = np.asarray(stacked)
+        for (frame, tr, t), n in zip(batch, ns):
+            self._decide(frame, tr, t, n_inliers=int(n))
 
     def flush_decisions(self) -> None:
         """Resolve deferred decisions (call at sequence end): the pending
         keyframe/lost decisions and the pending loop detection."""
+        inflight = getattr(self, "_inflight_decisions", None)
+        self._inflight_decisions = None
+        if inflight is not None:
+            self._consume_decisions(*inflight)
         q = getattr(self, "_pending_decisions", None) or []
         self._pending_decisions = []
-        for pending in q:
-            self._decide(*pending)
+        if q:
+            stacked = jnp.stack([it[1].n_inliers for it in q])
+            self._consume_decisions(q, stacked)
         self._maybe_close_loop(flush=True)
 
-    def _decide(self, frame, tr, t: float) -> None:
+    def _decide(self, frame, tr, t: float, n_inliers=None) -> None:
         """Host branching for an already-computed frame step."""
-        with self.timer.span("track/decide_sync"):
-            n_inliers = int(tr.n_inliers)
+        if n_inliers is None:
+            with self.timer.span("track/decide_sync"):
+                n_inliers = int(tr.n_inliers)
         if n_inliers < self.cfg.tracking.min_inliers_local_map:
             # lost path: reloc → degrade → Atlas (Tracking.cc:1876-1948)
             with self.timer.span("track/lost"):
