@@ -129,6 +129,11 @@ class TrackingConfig:
     # Optimizer.cc:6697): 1σ trust region of the dead-reckoned prediction
     imu_prior_sigma_rot: float = 0.02    # rad over one inter-KF window
     imu_prior_sigma_trans: float = 0.02  # m over one inter-KF window
+    # frames whose decision scalars (inlier counts) are fetched from the
+    # device with ONE batched readback; decisions lag by up to 2×batch
+    # frames. 1 = synchronous per-frame decisions (lowest recovery latency,
+    # slowest through a remote device tunnel).
+    decision_batch: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

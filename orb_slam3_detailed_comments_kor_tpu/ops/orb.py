@@ -277,12 +277,12 @@ def extract_orb_batch(
     )
     S = jax.nn.one_hot(
         jnp.asarray(_BIN_LIN), _BLUR_T * _BLUR_T, dtype=jnp.bfloat16
-    )                                                   # [30,512,1521]
+    )                                                   # [_N_BINS,512,1521]
     vals_all = jax.lax.dot_general(
         blurred.astype(jnp.bfloat16), S,
         (((1,), (2,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                   # [K,30,512]
+    )                                                   # [K,_N_BINS,512]
     pick = jax.nn.one_hot(bins, _N_BINS, dtype=jnp.float32)
     vals = jnp.einsum("kbs,kb->ks", vals_all, pick).reshape(B * N, 256, 2)
     desc = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # [K,256]

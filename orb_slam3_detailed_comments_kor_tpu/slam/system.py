@@ -77,6 +77,13 @@ class SlamSystem:
         self.inliers_at_last_kf = 0
         self.n_frames = 0
         self.n_lost_frames = 0
+        # monotone index of dispatched tracked frames; each queued decision
+        # snapshots it so the KF-gap is computed against the DECIDED frame,
+        # not the live counter (a mid-batch insertion must not suppress the
+        # rest of the batch's decisions)
+        self._dispatch_idx = 0
+        self._last_kf_dispatch_idx = 0
+        self.decision_batch = config.tracking.decision_batch
         # Trajectory log. Frame poses are recorded RELATIVE to their
         # reference keyframe and composed with the keyframe's FINAL pose at
         # read time, so late refinements (VI init re-gauge, local/global BA,
@@ -226,16 +233,19 @@ class SlamSystem:
         self.inliers_at_last_kf = n_depth
 
     def _track(self, img_l, img_r, t: float, override_pred=None) -> None:
-        """Deferred-decision tracking: the device step for frame i is
+        """Deferred-decision tracking: the device step for each frame is
         dispatched immediately; the host-side branching (lost / keyframe
-        decision) for frame i runs while frame i+1's step is in flight.
+        decision) is resolved in batches of ``decision_batch`` frames with
+        one double-buffered device→host readback (see the comment at the
+        decision queue below), so decisions lag the dispatch by up to
+        2×``decision_batch`` frames.
 
         Through a remote device tunnel a scalar sync costs a full RTT
-        (~90 ms measured), so per-frame `int(n_inliers)` syncs dominated the
+        (~25 ms measured), so per-frame `int(n_inliers)` syncs dominated the
         frame budget. The device graph already resolves the pose fallback
         (ok/not-ok) branchlessly, so only the state label and the KF
-        decision lag by one frame — the same latency class as the
-        reference's asynchronous LocalMapping queue.
+        decision lag — the same latency class as the reference's
+        asynchronous LocalMapping queue.
         """
         cam = self.cfg.camera
         if override_pred is not None:
@@ -263,6 +273,7 @@ class SlamSystem:
         self.vel_R, self.vel_t = vel_R, vel_t
         self.has_velocity = True
         self.frames_since_kf += 1
+        self._dispatch_idx += 1
         # Decision pipeline, batched: a device→host readback through a
         # remote device tunnel costs a full RTT (~25 ms measured), so
         # reading each frame's n_inliers scalar individually caps tracking
@@ -278,7 +289,7 @@ class SlamSystem:
         if q is None:
             q = self._pending_decisions = []
             self._inflight_decisions = None
-        q.append((frame, tr, t))
+        q.append((frame, tr, t, self._dispatch_idx, self._map_gen))
         if self.state != TrackingState.OK:
             # while degraded, latency is irrelevant — decide synchronously
             # so lost-streak counting and relocalization act on THIS frame
@@ -298,13 +309,45 @@ class SlamSystem:
                 self._consume_decisions(*inflight)
 
     #: frames whose decision scalars are fetched with one batched readback
+    #: (default; overridden from ``TrackingConfig.decision_batch``)
     decision_batch = 4
 
     def _consume_decisions(self, batch, stacked) -> None:
         with self.timer.span("track/decide_sync"):
             ns = np.asarray(stacked)
-        for (frame, tr, t), n in zip(batch, ns):
-            self._decide(frame, tr, t, n_inliers=int(n))
+        for j, ((frame, tr, t, di, gen), n) in enumerate(zip(batch, ns)):
+            if gen != self._map_gen:
+                # decided before a map reset/switch: tr.lm_feat indexes a
+                # dead map's landmark slots — drop it (ADVICE r1, medium)
+                continue
+            self._decide(frame, tr, t, n_inliers=int(n), dispatch_idx=di)
+            if self._map_gen != gen:
+                # this decision reset or switched the map: every remaining
+                # queued step targets the OLD map. Replay their extracted
+                # frames against the new map instead so the live pose
+                # catches up to the newest fed frame.
+                self._replay_stale(batch[j + 1:])
+                return
+
+    def _replay_stale(self, tail) -> None:
+        """Re-track frames whose dispatched device steps targeted a
+        previous map (their queued results are unusable — see the gen
+        check above). After a successful relocalization/Atlas switch the
+        extracted frames are simply tracked again, synchronously, against
+        the new active map; after a hard reset they are dropped (the fresh
+        map needs initialization frames, not tracked ones)."""
+        entries = list(tail)
+        inflight = getattr(self, "_inflight_decisions", None)
+        self._inflight_decisions = None
+        if inflight is not None:
+            entries.extend(inflight[0])
+        entries.extend(getattr(self, "_pending_decisions", None) or [])
+        self._pending_decisions = []
+        if self.state != TrackingState.OK:
+            return
+        for e in entries:
+            frame, t = e[0], e[2]
+            self._track_with_frame(frame, t)
 
     def flush_decisions(self) -> None:
         """Resolve deferred decisions (call at sequence end): the pending
@@ -320,8 +363,15 @@ class SlamSystem:
             self._consume_decisions(q, stacked)
         self._maybe_close_loop(flush=True)
 
-    def _decide(self, frame, tr, t: float, n_inliers=None) -> None:
-        """Host branching for an already-computed frame step."""
+    def _decide(
+        self, frame, tr, t: float, n_inliers=None, dispatch_idx=None
+    ) -> None:
+        """Host branching for an already-computed frame step.
+
+        dispatch_idx: the frame's dispatch index snapshot — the KF-gap is
+        ``dispatch_idx - last-inserted-KF's dispatch_idx`` so that an
+        insertion earlier in the same consumed batch doesn't suppress the
+        remaining decisions (ADVICE r1, high)."""
         if n_inliers is None:
             with self.timer.span("track/decide_sync"):
                 n_inliers = int(tr.n_inliers)
@@ -332,7 +382,11 @@ class SlamSystem:
             return
         self.n_lost_frames = 0
         self.state = TrackingState.OK
-        if self._need_new_keyframe(frame, n_inliers):
+        gap = (
+            dispatch_idx - self._last_kf_dispatch_idx
+            if dispatch_idx is not None else None
+        )
+        if self._need_new_keyframe(frame, n_inliers, gap):
             # the keyframe is inserted with ITS OWN tracked pose (stored in
             # tr), not the current live pose. The live pose is restored
             # RELATIVELY (T_rel = T_live ∘ T_kf⁻¹, re-applied to the
@@ -351,6 +405,8 @@ class SlamSystem:
                 R_rel, t_rel, self.R_cw, self.t_cw
             )
             self.inliers_at_last_kf = n_inliers
+            if dispatch_idx is not None:
+                self._last_kf_dispatch_idx = dispatch_idx
 
 
     # ------------------------------------------------------------------
@@ -415,6 +471,7 @@ class SlamSystem:
         )
         self.n_kf = 0
         self.frames_since_kf = 0
+        self._last_kf_dispatch_idx = self._dispatch_idx
         self.inliers_at_last_kf = 0
         self.n_lost_frames = 0
         self.state = TrackingState.NOT_INITIALIZED
@@ -557,6 +614,7 @@ class SlamSystem:
         self.loop_closer = shelf["loop_closer"]
         self._map_gen = shelf["gen"]
         self.frames_since_kf = 0
+        self._last_kf_dispatch_idx = self._dispatch_idx
         self.n_lost_frames = 0
         if self.cfg.is_inertial and "ikf" in shelf:
             self.ikf = shelf["ikf"]
@@ -749,8 +807,9 @@ class SlamSystem:
         """Integrate the queued IMU window at the current bias estimate.
 
         t_end: integrate only samples with timestamp <= t_end (keyframe
-        decisions are deferred by `decision_depth` frames, so at insertion
-        time the buffer already holds samples newer than the keyframe)."""
+        decisions are deferred by up to 2×``decision_batch`` frames, so at
+        insertion time the buffer already holds samples newer than the
+        keyframe)."""
         from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
 
         cap = self.cfg.capacity.max_imu_per_frame * max(
@@ -1071,17 +1130,25 @@ class SlamSystem:
             for (t, g, kf, R_rel, t_rel, R_abs, t_abs) in self.trajectory
         ]
 
-    def _need_new_keyframe(self, frame: frontend.Frame, n_inliers: int) -> bool:
+    def _need_new_keyframe(
+        self, frame: frontend.Frame, n_inliers: int, gap: int = None
+    ) -> bool:
         """KF decision (``Tracking.cc:3078-3273``, simplified visual c1/c2):
-        enough frames passed, or tracking weakened vs the reference KF."""
+        enough frames passed, or tracking weakened vs the reference KF.
+
+        gap: frames between the DECIDED frame and the last inserted KF
+        (snapshot-based for batched decisions); defaults to the live
+        counter for synchronous paths."""
         tc = self.cfg.tracking
+        if gap is None:
+            gap = self.frames_since_kf
         if self.localization_only:
             return False
         if self.n_kf >= self.ms.K - 1:
             return False
-        if self.frames_since_kf < max(tc.min_frames_between_kf, 1):
+        if gap < max(tc.min_frames_between_kf, 1):
             return False
-        c1 = self.frames_since_kf >= tc.max_frames_between_kf
+        c1 = gap >= tc.max_frames_between_kf
         c2 = n_inliers < tc.kf_ref_ratio * max(self.inliers_at_last_kf, 1)
         c3 = n_inliers < 2 * tc.min_inliers_local_map  # tracking getting thin
         return c1 or c2 or c3
@@ -1108,6 +1175,9 @@ class SlamSystem:
         kf_idx_host = self.n_kf  # python int — avoid a device-scalar sync
         self.n_kf += 1
         self.frames_since_kf = 0
+        # synchronous insertion paths (init / _track_with_frame): the KF is
+        # the CURRENT frame; batched _decide overrides with its snapshot
+        self._last_kf_dispatch_idx = self._dispatch_idx
         if self.enable_loop_closing:
             self.loop_closer.add_keyframe(kf_idx_host, frame.desc, frame.valid)
 
