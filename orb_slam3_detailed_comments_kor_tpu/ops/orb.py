@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from orb_slam3_detailed_comments_kor_tpu.ops import fast as fast_ops
+from orb_slam3_detailed_comments_kor_tpu.ops import pallas_fast
 from orb_slam3_detailed_comments_kor_tpu.ops import pallas_gather as pg
 from orb_slam3_detailed_comments_kor_tpu.ops import pyramid as pyr_ops
 from orb_slam3_detailed_comments_kor_tpu.ops import select as sel_ops
@@ -183,16 +184,14 @@ def extract_orb_batch(
     K0 = max(budgets)
 
     # ---- pyramid: sequential resize chain (batched over views) ----------
+    # antialiased bilinear as two banded matmuls per level (MXU): same
+    # weights as jax.image.resize(linear, antialias=True) — the prefilter
+    # measurably improves upper-level feature stability vs the reference's
+    # plain cv::resize(INTER_LINEAR) (trajectory-length error 12% → <10%)
     levels = [imgs]
     for l in range(1, NL):
         levels.append(
-            jax.image.resize(
-                # antialiased bilinear: slightly off the reference's plain
-                # cv::resize(INTER_LINEAR), but the prefilter measurably
-                # improves upper-level feature stability (trajectory-length
-                # error 12% -> <10% on the synthetic suite)
-                levels[-1], (B,) + shapes[l], method="linear", antialias=True
-            )
+            pyr_ops.resize_matmul(levels[-1], shapes[l][0], shapes[l][1])
         )
     # pad width to a lane multiple so pallas patch DMAs need no extra copy
     # (and height to a sublane multiple)
@@ -214,7 +213,6 @@ def extract_orb_batch(
     xx = jax.lax.broadcasted_iota(jnp.int32, (NL, Hp, Wp), 2)
     hs_j = jnp.asarray(hs)[:, None, None]
     ws_j = jnp.asarray(ws)[:, None, None]
-    inb3 = (yy >= 3) & (yy < hs_j - 3) & (xx >= 3) & (xx < ws_j - 3)
     inbB = (
         (yy >= BORDER) & (yy < hs_j - BORDER)
         & (xx >= BORDER) & (xx < ws_j - BORDER)
@@ -224,8 +222,8 @@ def extract_orb_batch(
     )
 
     # ---- FAST + NMS + high/low fallback, whole stack at once ------------
-    score, raw_lo = fast_ops.fast_with_fallback_stack(
-        flat, ini_th, min_th, cell, tile(inb3)
+    score, raw_lo = pallas_fast.fast_nms_stack(
+        flat, hs, ws, NL, ini_th, min_th, cell
     )
     score = jnp.where(tile(inbB), score, 0.0)
 
@@ -271,20 +269,27 @@ def extract_orb_batch(
         "kuw,wv->kuv", blurred, jnp.asarray(_BC)
     ).reshape(B * N, _BLUR_T * _BLUR_T)
 
-    # rBRIEF via per-bin selection matmuls + bin pick (MXU, no gathers)
+    # rBRIEF via per-keypoint selection matmuls (MXU, no gathers). The
+    # sample at table position lin = row·39+col factors into two one-hot
+    # contractions over the [39,39] blurred patch — each keypoint computes
+    # ONLY its own bin's 512 samples (the earlier all-bins formulation
+    # computed _N_BINS×512 samples per keypoint and discarded 95/96 of
+    # them; ~2 ms → ~0.5 ms). Sampled values are identical: one-hot dots
+    # select the same bf16 blurred pixels.
     bins = jnp.mod(
         jnp.round(ang * (_N_BINS / (2.0 * jnp.pi))).astype(jnp.int32), _N_BINS
     )
-    S = jax.nn.one_hot(
-        jnp.asarray(_BIN_LIN), _BLUR_T * _BLUR_T, dtype=jnp.bfloat16
-    )                                                   # [_N_BINS,512,1521]
-    vals_all = jax.lax.dot_general(
-        blurred.astype(jnp.bfloat16), S,
-        (((1,), (2,)), ((), ())),
+    rows_k = jnp.asarray(_BIN_LIN // _BLUR_T)[bins]      # [K,512]
+    cols_k = jnp.asarray(_BIN_LIN % _BLUR_T)[bins]       # [K,512]
+    Rh = jax.nn.one_hot(rows_k, _BLUR_T, dtype=jnp.bfloat16)  # [K,512,39]
+    Ch = jax.nn.one_hot(cols_k, _BLUR_T, dtype=jnp.bfloat16)
+    blur2d = blurred.reshape(B * N, _BLUR_T, _BLUR_T).astype(jnp.bfloat16)
+    tmp = jax.lax.dot_general(
+        Rh, blur2d, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                   # [K,_N_BINS,512]
-    pick = jax.nn.one_hot(bins, _N_BINS, dtype=jnp.float32)
-    vals = jnp.einsum("kbs,kb->ks", vals_all, pick).reshape(B * N, 256, 2)
+    )                                                    # [K,512,39]
+    vals = jnp.sum(tmp * Ch.astype(jnp.float32), axis=-1)
+    vals = vals.reshape(B * N, 256, 2)
     desc = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # [K,256]
 
     # subpixel: separable parabola on the raw low-threshold response

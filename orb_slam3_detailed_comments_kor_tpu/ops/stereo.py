@@ -103,31 +103,36 @@ def _sad_refine_atlas(
             base[:, None, None] + dy[None, :, None],
             xri[:, None, None] + dxr[None, None, :],
         ]  # [K,win,win+2L]
-    patch_l = patch_l - patch_l[:, _W, _W][:, None, None]
+    patch_l_n = patch_l - patch_l[:, _W, _W][:, None, None]
     # slide the 11x11 window across the strip (static unroll, fused by XLA)
     sad_list = []
     for i in range(2 * _L + 1):
         wnd = strip_r[:, :, i:i + win]
         wnd = wnd - wnd[:, _W, _W][:, None, None]
-        sad_list.append(jnp.sum(jnp.abs(wnd - patch_l), axis=(1, 2)))
+        sad_list.append(jnp.sum(jnp.abs(wnd - patch_l_n), axis=(1, 2)))
     sads = jnp.stack(sad_list, axis=1)  # [K, 11]
     best = jnp.argmin(sads, axis=1)
     s0 = jnp.take_along_axis(sads, best[:, None], axis=1)[:, 0]
-    sm = jnp.take_along_axis(
-        sads, jnp.clip(best - 1, 0, 2 * _L)[:, None], axis=1
-    )[:, 0]
-    sp = jnp.take_along_axis(
-        sads, jnp.clip(best + 1, 0, 2 * _L)[:, None], axis=1
-    )[:, 0]
-    denom = sm + sp - 2.0 * s0
-    delta = jnp.where(
-        denom > 1e-6, 0.5 * (sm - sp) / jnp.maximum(denom, 1e-6), 0.0
-    )
+    # Subpixel: one Lucas-Kanade (gradient) step on the best-aligned raw
+    # window instead of a parabola on the SAD samples — SAD's piecewise-
+    # linear cost pixel-locks the parabola by up to ~0.1 px, and planar
+    # scenes (correlated fractional disparities) turn that into a
+    # SYSTEMATIC disparity bias that scales whole-trajectory motion.
+    # patch_l(c) = f(c+δ) ≈ f(c) + f'(c)·δ  ⇒  δ = Σf'(pl−f)/Σf'².
+    onehot = jax.nn.one_hot(best, 2 * _L + 1, dtype=strip_r.dtype)
+    wnd_best = jnp.zeros_like(patch_l)
+    for i in range(2 * _L + 1):
+        wnd_best = wnd_best + onehot[:, i, None, None] * strip_r[:, :, i:i + win]
+    gx = 0.5 * (wnd_best[:, :, 2:] - wnd_best[:, :, :-2])  # [K,win,win-2]
+    diff = (patch_l - wnd_best)[:, :, 1:-1]
+    num = jnp.sum(gx * diff, axis=(1, 2))
+    den = jnp.sum(gx * gx, axis=(1, 2))
+    delta = jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), 0.0)
     delta = jnp.clip(delta, -1.0, 1.0)
     du = (best - _L).astype(jnp.float32) + delta + (
         xri.astype(jnp.float32) - xr0
     )
-    return du, s0
+    return du, s0, xi
 
 
 def compute_stereo_matches(
@@ -188,15 +193,22 @@ def compute_stereo_matches(
     level_h = jnp.asarray([s[0] for s in lvl_hw], jnp.int32)
     level_w = jnp.asarray([s[1] for s in lvl_hw], jnp.int32)
     s_per = sigma_l  # scale ** level
-    du_lvl, sad_all = _sad_refine_atlas(
+    du_lvl, sad_all, xi_lvl = _sad_refine_atlas(
         atlas_l, atlas_r, row_off, level_w, level_h, left.level,
         left.xy[:, 0] / s_per, left.xy[:, 1] / s_per, xr_match / s_per,
         left_patches=left_patches,
     )
     du_all = du_lvl * s_per
 
-    u_right = xr_match + du_all
-    disparity = left.xy[:, 0] - u_right
+    # The SAD/LK alignment localizes the right-image content matching the
+    # left patch at the ROUNDED level coordinate xi — so the disparity is
+    # xi·σ − u_right_raw (using the subpixel left u here would add the
+    # ±0.5 px rounding residue as per-keypoint noise); u_right is then
+    # re-expressed at the subpixel left u so the stereo residual
+    # u_r = u − bf/z stays consistent downstream.
+    u_right_raw = xr_match + du_all
+    disparity = xi_lvl.astype(jnp.float32) * s_per - u_right_raw
+    u_right = left.xy[:, 0] - disparity
     ok = matched & (disparity > 0.01) & (disparity < max_disp)
 
     # --- stage 3: median SAD outlier gate (reference 1.5*1.4*median) -----

@@ -349,3 +349,198 @@ def bundle_adjust(
     _, chi2 = total_cost(R, t, Xc)
     inlier = (chi2 <= delta2) & obs.valid
     return BAResult(R, t, Xc, chi2, inlier)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free Schur BA: PCG on the reduced camera system.
+#
+# The dense path above materializes the pose-landmark coupling W as a
+# [K,6,L,3] tensor — fine for local windows (K≤32, L≤4k) but ~1.2 GB at
+# GBA scale (K=256, L=64k). Here S = Hpp − W Hll⁻¹ Wᵀ is never formed:
+# its action on a vector is two gathers + two scatter-adds over the flat
+# observation table (O(obs) work and memory), and the reduced system is
+# solved with block-Jacobi-preconditioned conjugate gradients. This is the
+# TPU analog of g2o's sparse BlockSolver + PCG (``Thirdparty/g2o/g2o/core/
+# block_solver.hpp``) and the form that distributes: shard the observation
+# table, psum the matvec (see ``parallel/dist_ba.py``).
+# ---------------------------------------------------------------------------
+
+
+def _schur_matvec(v, A, Hll_inv, kf, lm, Hpp_d, fixed_pose, L):
+    """S·v for v [K,6] without materializing S.
+
+    A [O,6,3] = w·Jpᵀ·Jl per observation (fixed rows/cols already zeroed),
+    Hll_inv [L,3,3], Hpp_d [K,6,6] damped pose blocks.
+    """
+    K = v.shape[0]
+    # u = Wᵀ v  (per landmark): u_l = Σ_{o→l} A_oᵀ v_{kf(o)}
+    u = jnp.zeros((L, 3), v.dtype).at[lm].add(
+        jnp.einsum("oij,oi->oj", A, v[kf])
+    )
+    y = jnp.einsum("lmn,ln->lm", Hll_inv, u)
+    # W y (per pose): Σ_{o→k} A_o y_{lm(o)}
+    Wy = jnp.zeros((K, 6), v.dtype).at[kf].add(
+        jnp.einsum("oij,oj->oi", A, y[lm])
+    )
+    Sv = jnp.einsum("kij,kj->ki", Hpp_d, v) - Wy
+    return jnp.where(fixed_pose[:, None], v, Sv)
+
+
+def _pcg(matvec, b, Minv_blocks, iters):
+    """Block-Jacobi PCG for S·x = b with x,b [K,6]."""
+    def apply_M(r):
+        return jnp.einsum("kij,kj->ki", Minv_blocks, r)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = apply_M(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def step(carry, _):
+        x, r, p, rz = carry
+        Sp = matvec(p)
+        pSp = jnp.sum(p * Sp)
+        alpha = rz / jnp.where(jnp.abs(pSp) > 1e-20, pSp, 1.0)
+        alpha = jnp.where(jnp.abs(pSp) > 1e-20, alpha, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = apply_M(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1.0)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, beta, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(
+        step, (x0, r0, p0, rz0), None, length=iters
+    )
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "cg_iters", "use_huber", "cam_model")
+)
+def bundle_adjust_cg(
+    R_cw: jnp.ndarray,
+    t_cw: jnp.ndarray,
+    X: jnp.ndarray,
+    obs: Observations,
+    fixed_pose: jnp.ndarray,
+    fixed_point: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    bf: float,
+    iters: int = 10,
+    cg_iters: int = 24,
+    use_huber: bool = True,
+    cam_model: str = "pinhole",
+) -> BAResult:
+    """Large-scale BA: LM with PCG on the (implicit) reduced camera system.
+
+    Same contract as :func:`bundle_adjust`; memory is O(obs + K·36 + L·9)
+    instead of O(K·L·18), so GBA-sized problems (K≥256, L≥64k) fit on chip.
+    Replaces ``Optimizer::GlobalBundleAdjustemnt`` (``src/Optimizer.cc:54``)
+    at map scale.
+    """
+    K = R_cw.shape[0]
+    L = X.shape[0]
+    delta2 = jnp.where(obs.u_right >= 0, CHI2_STEREO, CHI2_MONO)
+    free_p = (~fixed_pose).astype(jnp.float32)
+    free_l = (~fixed_point).astype(jnp.float32)
+    eye3 = jnp.eye(3)
+    eye6 = jnp.eye(6)
+
+    def total_cost(R, t, Xc):
+        r, _, dok = factors.reproj_residuals(R, t, Xc, obs, cam_params, bf,
+                                             cam_model)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        c = jnp.where(use_huber, _robust_cost(chi2, delta2), chi2)
+        return jnp.sum(c * (obs.valid & dok)), chi2
+
+    def lm_iter(carry, _):
+        R, t, Xc, lam, best_cost = carry
+        r, row_mask, depth_ok = factors.reproj_residuals(
+            R, t, Xc, obs, cam_params, bf, cam_model
+        )
+        chi2, w_h, _ = _eval_weights(r, obs, use_huber)
+        w = obs.inv_sigma2 * w_h * (obs.valid & depth_ok)
+        Jp, Jl = factors.reproj_jacobians(R, t, Xc, obs, cam_params, bf,
+                                          cam_model)
+        Jp = Jp * row_mask[:, :, None]
+        Jl = Jl * row_mask[:, :, None]
+        # per-obs blocks; fixed pose/point columns are zeroed at the source
+        wf = w * free_p[obs.kf]
+        wl = w * free_l[obs.lm]
+        Hpp = jnp.zeros((K, 6, 6)).at[obs.kf].add(
+            w[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp)
+        )
+        Hll = jnp.zeros((L, 3, 3)).at[obs.lm].add(
+            w[:, None, None] * jnp.einsum("oij,oik->ojk", Jl, Jl)
+        )
+        bp = jnp.zeros((K, 6)).at[obs.kf].add(
+            -w[:, None] * jnp.einsum("oij,oi->oj", Jp, r)
+        ) * free_p[:, None]
+        bl = jnp.zeros((L, 3)).at[obs.lm].add(
+            -w[:, None] * jnp.einsum("oij,oi->oj", Jl, r)
+        ) * free_l[:, None]
+        A = (w * free_p[obs.kf] * free_l[obs.lm])[:, None, None] * jnp.einsum(
+            "oij,oik->ojk", Jp, Jl
+        )  # [O,6,3]
+
+        Hll_d = Hll + lam * eye3[None] * (
+            jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0 + 1e-3
+        )
+        Hll_d = jnp.where(fixed_point[:, None, None], eye3[None], Hll_d)
+        Hll_inv = jnp.linalg.inv(Hll_d)
+
+        Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(
+            jax.vmap(jnp.diag)(Hpp)
+        ) + 1e-6 * eye6[None]
+        Hpp_d = jnp.where(fixed_pose[:, None, None], eye6[None], Hpp_d)
+
+        # RHS: b_s = bp − W Hll⁻¹ bl
+        y0 = jnp.einsum("lmn,ln->lm", Hll_inv, bl)
+        Wy0 = jnp.zeros((K, 6)).at[obs.kf].add(
+            jnp.einsum("oij,oj->oi", A, y0[obs.lm])
+        )
+        b_s = jnp.where(fixed_pose[:, None], 0.0, bp - Wy0)
+
+        # block-Jacobi preconditioner: S's diagonal blocks ≈ Hpp_d
+        Minv = jnp.linalg.inv(Hpp_d)
+        dp = _pcg(
+            lambda v: _schur_matvec(
+                v, A, Hll_inv, obs.kf, obs.lm, Hpp_d, fixed_pose, L
+            ),
+            b_s, Minv, cg_iters,
+        )
+        dp = dp * free_p[:, None]
+        # back-substitute landmarks
+        u = jnp.zeros((L, 3)).at[obs.lm].add(
+            jnp.einsum("oij,oi->oj", A, dp[obs.kf])
+        )
+        dl = jnp.einsum("lmn,ln->lm", Hll_inv, bl - u) * free_l[:, None]
+
+        dR, dt = lie.se3_exp(dp)
+        R_new = dR @ R
+        t_new = jnp.einsum("kij,kj->ki", dR, t) + dt
+        X_new = Xc + dl
+        cost_new, _ = total_cost(R_new, t_new, X_new)
+        accept = (
+            (cost_new < best_cost)
+            & jnp.isfinite(dp).all() & jnp.isfinite(dl).all()
+        )
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        Xc = jnp.where(accept, X_new, Xc)
+        lam = jnp.where(accept, lam * 0.33, lam * 4.0)
+        best_cost = jnp.where(accept, cost_new, best_cost)
+        return (R, t, Xc, lam, best_cost), cost_new
+
+    cost0, _ = total_cost(R_cw, t_cw, X)
+    (R, t, Xc, _, _), _ = jax.lax.scan(
+        lm_iter, (R_cw, t_cw, X, jnp.float32(1e-4), cost0), None, length=iters
+    )
+    R = lie.project_to_so3(R)
+    _, chi2 = total_cost(R, t, Xc)
+    inlier = (chi2 <= delta2) & obs.valid
+    return BAResult(R, t, Xc, chi2, inlier)

@@ -89,6 +89,76 @@ def store_preintegration(
     )
 
 
+@jax.jit
+def merge_and_compact(ikf: InertialKF, keep: jnp.ndarray) -> InertialKF:
+    """Inertial-chain counterpart of keyframe culling + slot compaction.
+
+    keep [K]: validity mask BEFORE compaction (the keyframes that survive;
+    identical slot arithmetic to ``map_state.compact_keyframes``).
+
+    When keyframe i is culled, its successor's preintegration window must
+    absorb i's window — the reference merges the raw measurement logs
+    (``IMU::Preintegrated::MergePrevious``, ``src/ImuTypes.cc:224-335``);
+    here consecutive windows are composed in closed form (first-order in
+    the bias linearization difference, exact otherwise — ``imu.compose``).
+    """
+    K = keep.shape[0]
+    new_of_old = jnp.where(keep, jnp.cumsum(keep) - 1, K)
+    old_of_new = jnp.zeros((K + 1,), jnp.int32).at[new_of_old].set(
+        jnp.arange(K, dtype=jnp.int32), mode="drop"
+    )
+    src = old_of_new[:K]
+    mask = jnp.arange(K) < jnp.sum(keep)
+    pre_slots = imu_ops.Preintegrated(
+        dt=ikf.pre_dt, dR=ikf.pre_dR, dV=ikf.pre_dV, dP=ikf.pre_dP,
+        cov=ikf.pre_cov, JRg=ikf.pre_JRg, JVg=ikf.pre_JVg, JVa=ikf.pre_JVa,
+        JPg=ikf.pre_JPg, JPa=ikf.pre_JPa, bias_g=ikf.pre_bg0,
+        bias_a=ikf.pre_ba0,
+    )
+
+    def step(carry, x):
+        acc, acc_valid = carry
+        pre_i, keep_i, pv_i = x
+        total = imu_ops.compose(acc, pre_i)
+        # a culled slot's window flows into the accumulator; a kept slot
+        # emits the accumulated window and resets the accumulator
+        v_total = acc_valid | pv_i
+        ident = imu_ops.identity_preintegrated()._replace(
+            bias_g=pre_i.bias_g, bias_a=pre_i.bias_a
+        )
+        carry_next = jax.tree.map(
+            lambda t, i2: jnp.where(keep_i, i2, t), total, ident
+        )
+        return (carry_next, v_total & ~keep_i), (total, v_total)
+
+    init = (imu_ops.identity_preintegrated(), jnp.zeros((), bool))
+    _, (merged, merged_valid) = jax.lax.scan(
+        step, init, (pre_slots, keep, ikf.pre_valid)
+    )
+    take = lambda a: jnp.where(
+        mask.reshape((K,) + (1,) * (a.ndim - 1)), a[src], jnp.zeros_like(a)
+    )
+    return InertialKF(
+        vel=take(ikf.vel),
+        bg=take(ikf.bg),
+        ba=take(ikf.ba),
+        pre_dt=take(merged.dt),
+        pre_dR=jnp.where(mask[:, None, None], merged.dR[src],
+                         jnp.eye(3)[None]),
+        pre_dV=take(merged.dV),
+        pre_dP=take(merged.dP),
+        pre_cov=take(merged.cov),
+        pre_JRg=take(merged.JRg),
+        pre_JVg=take(merged.JVg),
+        pre_JVa=take(merged.JVa),
+        pre_JPg=take(merged.JPg),
+        pre_JPa=take(merged.JPa),
+        pre_bg0=take(merged.bias_g),
+        pre_ba0=take(merged.bias_a),
+        pre_valid=take(merged_valid) & mask,
+    )
+
+
 def edges_for_range(
     ikf: InertialKF, first: int, last: int, cov_floor=vi_ba.COV_FLOOR
 ) -> vi_ba.InertialEdges:

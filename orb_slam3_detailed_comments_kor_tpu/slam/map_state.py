@@ -165,6 +165,54 @@ def predict_level(
 
 
 @jax.jit
+def compact_keyframes(ms: MapState):
+    """Slide valid keyframes down into the lowest slots, preserving time
+    order, so culled slots become insertable again.
+
+    The system inserts keyframes at monotonically increasing slot indices
+    (slot order == temporal order — the temporal chain, trajectory
+    references and inertial arrays all rely on it). Culling only marks
+    slots invalid; this op reclaims them while keeping the order invariant
+    (the reference deletes KeyFrame objects instead, ``KeyFrame::SetBadFlag``,
+    ``KeyFrame.cc:600``).
+
+    Returns (ms', new_of_old [K] int32 — new slot per old slot, K for
+    culled/invalid — and n_valid scalar).
+    """
+    K = ms.K
+    valid = ms.kf_valid
+    new_of_old = jnp.where(valid, jnp.cumsum(valid) - 1, K)
+    old_of_new = jnp.zeros((K + 1,), jnp.int32).at[new_of_old].set(
+        jnp.arange(K, dtype=jnp.int32), mode="drop"
+    )
+    src = old_of_new[:K]
+    n_valid = jnp.sum(valid)
+    mask = jnp.arange(K) < n_valid
+    take = lambda a: jnp.where(
+        mask.reshape((K,) + (1,) * (a.ndim - 1)), a[src],
+        jnp.zeros_like(a)
+    )
+    # remap landmark birth keyframes (used only to group "new" landmarks
+    # for fusion); culled parents collapse to slot 0
+    first_new = new_of_old[jnp.clip(ms.lm_first_kf, 0, K - 1)]
+    return ms._replace(
+        kf_R_cw=jnp.where(mask[:, None, None], ms.kf_R_cw[src],
+                          jnp.eye(3)[None]),
+        kf_t_cw=take(ms.kf_t_cw),
+        kf_valid=mask,
+        kf_time=take(ms.kf_time),
+        kf_xy=take(ms.kf_xy),
+        kf_level=take(ms.kf_level),
+        kf_angle=take(ms.kf_angle),
+        kf_desc=take(ms.kf_desc),
+        kf_ur=jnp.where(mask[:, None], ms.kf_ur[src], -1.0),
+        kf_feat_valid=take(ms.kf_feat_valid),
+        obs_lm=jnp.where(mask[:, None], ms.obs_lm[src], -1),
+        lm_first_kf=jnp.clip(first_new, 0, K - 1),
+    ), new_of_old, n_valid
+
+
+@jax.jit
 def apply_scale(ms: MapState, s) -> MapState:
     """Re-gauge the whole map by a scalar scale (the scale part of
     ``Map::ApplyScaledRotation``, reference ``Map.cc:289``): used after

@@ -174,3 +174,63 @@ class TestGaugeAndMasks:
         # starting at GT with valid-only noise-free obs: must stay at GT
         assert float(jnp.abs(res.t_cw - t_gt).max()) < 1e-4
         assert float(jnp.abs(res.X - X_gt).max()) < 1e-3
+
+
+class TestBundleAdjustCG:
+    """Matrix-free PCG Schur BA must match the dense path and scale to
+    GBA-sized problems (g2o BlockSolver+PCG analog)."""
+
+    def _problem(self, n_points=150, n_poses=5, stereo=True, seed=7):
+        key = jax.random.PRNGKey(seed)
+        R_gt, t_gt, X_gt = make_world(key, n_points=n_points, n_poses=n_poses)
+        obs = project_all(R_gt, t_gt, X_gt, stereo=stereo)
+        k1, k2, k3 = jax.random.split(key, 3)
+        obs = obs._replace(
+            uv=obs.uv + 0.4 * jax.random.normal(k1, obs.uv.shape)
+        )
+        xi = 0.02 * jax.random.normal(k2, (n_poses, 6))
+        xi = xi.at[0].set(0.0)
+        dR, dt = lie.se3_exp(xi)
+        R0 = dR @ R_gt
+        t0 = jnp.einsum("kij,kj->ki", dR, t_gt) + dt
+        X0 = X_gt + 0.05 * jax.random.normal(k3, X_gt.shape)
+        fixed_pose = jnp.zeros((n_poses,), bool).at[0].set(True)
+        fixed_point = jnp.zeros((n_points,), bool)
+        return R_gt, t_gt, X_gt, obs, R0, t0, X0, fixed_pose, fixed_point
+
+    def test_matches_dense_schur(self):
+        (R_gt, t_gt, X_gt, obs, R0, t0, X0, fixed_pose,
+         fixed_point) = self._problem()
+        res = ba.bundle_adjust_cg(
+            R0, t0, X0, obs, fixed_pose, fixed_point, CAM, BF, iters=15,
+            cg_iters=30,
+        )
+        t_err = np.abs(np.asarray(res.t_cw - t_gt)).max()
+        assert t_err < 0.01, t_err
+        rot_err = np.degrees(np.abs(np.asarray(
+            lie.so3_log(res.R_cw @ jnp.swapaxes(R_gt, 1, 2)))).max())
+        assert rot_err < 0.2, rot_err
+        X_err = np.median(np.abs(np.asarray(res.X - X_gt)))
+        assert X_err < 0.02, X_err
+
+    def test_fixed_pose_untouched_cg(self):
+        (_, t_gt, _, obs, R0, t0, X0, fixed_pose,
+         fixed_point) = self._problem()
+        res = ba.bundle_adjust_cg(
+            R0, t0, X0, obs, fixed_pose, fixed_point, CAM, BF, iters=8
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.t_cw[0]), np.asarray(t_gt[0]), atol=1e-6
+        )
+
+    def test_gba_scale_memory(self):
+        """K=64 poses x L=8192 points: the dense path would need a
+        [64,6,8192,3] coupling per einsum operand; CG must run it."""
+        (R_gt, t_gt, X_gt, obs, R0, t0, X0, fixed_pose,
+         fixed_point) = self._problem(n_points=8192, n_poses=64, seed=11)
+        res = ba.bundle_adjust_cg(
+            R0, t0, X0, obs, fixed_pose, fixed_point, CAM, BF, iters=6,
+            cg_iters=20,
+        )
+        t_err = np.abs(np.asarray(res.t_cw - t_gt)).max()
+        assert t_err < 0.05, t_err

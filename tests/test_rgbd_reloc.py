@@ -51,10 +51,15 @@ class TestRelocalization:
             )
             slam.track_stereo(il, ir, i / 20.0)
         assert slam.state == TrackingState.OK
-        # blackout: 3 black frames
+        # blackout: 3 black frames. Decisions are resolved asynchronously
+        # (batched device→host readback, see SlamSystem._track) — the loss
+        # must be visible at the flush point, the system's synchronization
+        # contract. Without pacing, the host outruns the device here; under
+        # real-time feeding the opportunistic consume resolves it in-stream.
         black = jnp.zeros((H, W))
         for k in range(3):
             slam.track_stereo(black, black, (25 + k) / 20.0)
+        slam.flush_decisions()
         assert slam.state != TrackingState.OK
         # reappear at an EARLIER pose (jump back)
         il, ir, _ = synthetic.stereo_pair(
