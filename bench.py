@@ -1,13 +1,16 @@
 """Benchmark: tracked frames/s on one TPU chip, EuRoC-like workload.
 
-Renders a synthetic stereo sequence at EuRoC resolution (480x752), feeds the
-full SLAM pipeline (fused ORB front-end + two-stage tracking + keyframe /
-local-BA lifecycle) and reports steady-state tracked frames per second.
+Two measurements, both at EuRoC resolution (480x752, 1200 ORB features,
+20 fps sensor rate):
+- stereo (visual only): the round-1 headline metric
+- stereo-inertial: the flagship mode (reference stereo_inertial_euroc) —
+  IMU queueing + preintegration + predicted-pose tracking included.
 
 Baseline: the reference tracks at sensor rate (20 fps EuRoC) on a desktop
-i7 (BASELINE.md); vs_baseline = fps / 20.0, target >= 2.0.
+i7 (BASELINE.md); vs_baseline = fps / 20.0, target >= 2.0 for both.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"si_fps", "si_vs_baseline", "si_ate_m", "si_state"}.
 """
 
 import json
@@ -17,77 +20,146 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+H, W = 480, 752
+FX, BASELINE = 458.0, 0.11
+FPS = 20.0
+IMU_RATE = 200.0
+N_FRAMES = 130
 
-def main():
+
+def build_config(inertial: bool):
     from orb_slam3_detailed_comments_kor_tpu.config import (
-        CameraConfig, CapacityConfig, ORBConfig, SLAMConfig, TrackingConfig,
+        CameraConfig, CapacityConfig, IMUConfig, ORBConfig, SLAMConfig,
+        SensorType, TrackingConfig,
     )
-    from orb_slam3_detailed_comments_kor_tpu.io import synthetic
-    from orb_slam3_detailed_comments_kor_tpu.slam.system import SlamSystem
 
-    H, W = 480, 752
-    FX, BASELINE = 458.0, 0.11
-    cfg = SLAMConfig(
+    return SLAMConfig(
+        sensor=SensorType.IMU_STEREO if inertial else SensorType.STEREO,
         camera=CameraConfig(
             width=W, height=H, fx=FX, fy=FX, cx=W / 2.0, cy=H / 2.0,
             bf=BASELINE * FX,
         ),
         orb=ORBConfig(n_features=1200, cell_size=32),
+        imu=IMUConfig(frequency=IMU_RATE),
         capacity=CapacityConfig(
             max_keyframes=64, max_landmarks=16384, max_local_landmarks=4096
         ),
         tracking=TrackingConfig(max_frames_between_kf=10),
     )
-    params = jnp.array([FX, FX, W / 2.0, H / 2.0])
-    scene = synthetic.default_scene()
-    n_frames = 130
-    Rs, ts = synthetic.make_trajectory(n_frames, motion="strafe", speed=0.03)
 
-    # pre-render all frames (rendering is not part of the benchmark)
-    frames = []
-    for i in range(n_frames):
-        il, ir, _ = synthetic.stereo_pair(
-            params, jnp.asarray(Rs[i]), jnp.asarray(ts[i]), BASELINE, scene,
-            h=H, w=W,
-        )
-        frames.append((il.block_until_ready(), ir.block_until_ready()))
 
-    # Two passes over the SAME sequence: pass 1 (throwaway system) drives
-    # every code path that jit-compiles — tracking, KF insertion, local BA,
-    # culling, loop detect/verify/correct — so the timed pass hits only the
-    # in-process executable cache. Remote/axon compiles are tens of seconds
-    # and must not land in the timed window.
+def bench_stereo(frames, ts):
+    from orb_slam3_detailed_comments_kor_tpu.eval import ate
+    from orb_slam3_detailed_comments_kor_tpu.slam.system import SlamSystem
+
+    cfg = build_config(False)
+    # pass 1 (throwaway system) drives every jit-compiling code path so the
+    # timed pass hits only the in-process executable cache
     warm = SlamSystem(cfg)
-    for i in range(n_frames):
-        warm.track_stereo(frames[i][0], frames[i][1], i / 20.0)
+    for i in range(N_FRAMES):
+        warm.track_stereo(frames[i][0], frames[i][1], i / FPS)
     warm.flush_decisions()
     jax.block_until_ready(warm.t_cw)
     del warm
 
     slam = SlamSystem(cfg)
     t0 = time.time()
-    for i in range(n_frames):
-        slam.track_stereo(frames[i][0], frames[i][1], i / 20.0)
+    for i in range(N_FRAMES):
+        slam.track_stereo(frames[i][0], frames[i][1], i / FPS)
     jax.block_until_ready(slam.t_cw)
     wall = time.time() - t0
-    fps = n_frames / wall
-
-    # sanity: tracking must actually work for the number to count
-    from orb_slam3_detailed_comments_kor_tpu.eval import ate
-
     _, centers, _ = slam.trajectory_arrays()
     rmse = ate.ate_rmse(centers, ts[: len(centers)])
-    ok = slam.state == 1 and rmse < 0.15
+    return N_FRAMES / wall, float(rmse), slam.state
 
+
+def bench_stereo_inertial(frames, imu_per_frame, gt_pos):
+    from orb_slam3_detailed_comments_kor_tpu.eval import ate
+    from orb_slam3_detailed_comments_kor_tpu.slam.system import SlamSystem
+
+    cfg = build_config(True)
+
+    def run(system):
+        for i in range(N_FRAMES):
+            system.track_stereo_inertial(
+                frames[i][0], frames[i][1], i / FPS, imu_per_frame[i]
+            )
+        return system
+
+    warm = run(SlamSystem(cfg))
+    warm.flush_decisions()
+    jax.block_until_ready(warm.t_cw)
+    del warm
+
+    slam = SlamSystem(cfg)
+    t0 = time.time()
+    run(slam)
+    jax.block_until_ready(slam.t_cw)
+    wall = time.time() - t0
+    _, centers, _ = slam.trajectory_arrays()
+    rmse = ate.ate_rmse(centers, gt_pos[: len(centers)])
+    return N_FRAMES / wall, float(rmse), slam.state
+
+
+def main():
+    from orb_slam3_detailed_comments_kor_tpu.io import synthetic
+
+    params = jnp.array([FX, FX, W / 2.0, H / 2.0])
+    scene = synthetic.default_scene()
+
+    # ---- stereo workload (pre-rendered; rendering is not benchmarked) ----
+    Rs, ts = synthetic.make_trajectory(N_FRAMES, motion="strafe", speed=0.03)
+    frames_v = []
+    for i in range(N_FRAMES):
+        il, ir, _ = synthetic.stereo_pair(
+            params, jnp.asarray(Rs[i]), jnp.asarray(ts[i]), BASELINE, scene,
+            h=H, w=W,
+        )
+        frames_v.append((il.block_until_ready(), ir.block_until_ready()))
+    fps_v, ate_v, state_v = bench_stereo(frames_v, ts)
+    del frames_v
+
+    # ---- stereo-inertial workload ---------------------------------------
+    traj = synthetic.AnalyticTrajectory()
+    frames_i, imu_pf, gt_pos = [], [], []
+    for i in range(N_FRAMES):
+        t = i / FPS
+        R_wb, p_wb = traj.pose(t)
+        gt_pos.append(np.asarray(p_wb))
+        il, ir, _ = synthetic.stereo_pair(
+            params, R_wb, p_wb, BASELINE, scene, h=H, w=W
+        )
+        frames_i.append((il.block_until_ready(), ir.block_until_ready()))
+        samples = []
+        if i > 0:
+            t0s = (i - 1) / FPS
+            n = int(round((t - t0s) * IMU_RATE))
+            dt = (t - t0s) / n
+            for k in range(n):
+                tm = t0s + (k + 0.5) * dt
+                acc, gyro = traj.imu_at(tm)
+                samples.append(
+                    (t0s + (k + 1) * dt, np.asarray(acc), np.asarray(gyro))
+                )
+        imu_pf.append(samples)
+    gt_pos = np.stack(gt_pos)
+    fps_i, ate_i, state_i = bench_stereo_inertial(frames_i, imu_pf, gt_pos)
+
+    ok_v = state_v == 1 and ate_v < 0.15
+    ok_i = state_i == 1 and ate_i < 0.15
     print(
         json.dumps(
             {
                 "metric": "tracked_frames_per_second_1chip",
-                "value": round(fps, 2) if ok else 0.0,
+                "value": round(fps_v, 2) if ok_v else 0.0,
                 "unit": "fps",
-                "vs_baseline": round(fps / 20.0, 3) if ok else 0.0,
-                "ate_m": round(rmse, 4),
-                "state": slam.state,
+                "vs_baseline": round(fps_v / 20.0, 3) if ok_v else 0.0,
+                "ate_m": round(ate_v, 4),
+                "state": state_v,
+                "si_fps": round(fps_i, 2) if ok_i else 0.0,
+                "si_vs_baseline": round(fps_i / 20.0, 3) if ok_i else 0.0,
+                "si_ate_m": round(ate_i, 4),
+                "si_state": state_i,
                 "platform": jax.devices()[0].platform,
             }
         )

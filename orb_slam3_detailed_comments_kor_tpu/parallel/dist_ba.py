@@ -46,7 +46,9 @@ def pad_obs_to_devices(obs: Observations, n_dev: int) -> Observations:
         return obs
     f = lambda x: jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
     return Observations(
-        kf=f(obs.kf), lm=f(obs.lm), uv=f(obs.uv), u_right=f(obs.u_right) - 1.0,
+        kf=f(obs.kf), lm=f(obs.lm), uv=f(obs.uv),
+        # pad rows are mono-masked (u_right < 0); real rows pass through
+        u_right=jnp.concatenate([obs.u_right, -jnp.ones((pad,))]),
         inv_sigma2=f(obs.inv_sigma2),
         valid=jnp.concatenate([obs.valid, jnp.zeros((pad,), bool)]),
     )
@@ -147,6 +149,162 @@ def distributed_bundle_adjust(
                 "lmn,ln->lm", Hll_inv,
                 bl - jnp.einsum("kiln,ki->ln", Wpl, dp),
             ) * free_l[:, None]
+            dR, dt = lie.se3_exp(dp)
+            R_new = dR @ R
+            t_new = jnp.einsum("kij,kj->ki", dR, t) + dt
+            X_new = Xc + dl
+            cost_new = total_cost(R_new, t_new, X_new)
+            accept = (
+                (cost_new < best_cost)
+                & jnp.isfinite(dp).all() & jnp.isfinite(dl).all()
+            )
+            R = jnp.where(accept, R_new, R)
+            t = jnp.where(accept, t_new, t)
+            Xc = jnp.where(accept, X_new, Xc)
+            lam = jnp.where(accept, lam * 0.33, lam * 4.0)
+            best_cost = jnp.where(accept, cost_new, best_cost)
+            return (R, t, Xc, lam, best_cost), None
+
+        cost0 = total_cost(R0, t0, X0)
+        (R, t, Xc, _, _), _ = jax.lax.scan(
+            lm_iter, (R0, t0, X0, jnp.float32(1e-4), cost0), None,
+            length=iters,
+        )
+        return lie.project_to_so3(R), t, Xc
+
+    return run(R_cw, t_cw, X, obs)
+
+
+def distributed_bundle_adjust_cg(
+    mesh: Mesh,
+    R_cw: jnp.ndarray,
+    t_cw: jnp.ndarray,
+    X: jnp.ndarray,
+    obs: Observations,
+    fixed_pose: jnp.ndarray,
+    fixed_point: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    bf: float,
+    iters: int = 8,
+    cg_iters: int = 20,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """GBA-scale distributed LM-BA: obs-sharded matrix-free PCG Schur.
+
+    Unlike :func:`distributed_bundle_adjust`, the pose-landmark coupling is
+    never materialized (the dense [K,6,L,3] psum is ~1.2 GB at K=256 /
+    L=64k): each device keeps only its observation shard's per-obs blocks
+    A_o = w·Jpᵀ·Jl and applies the reduced camera system with two local
+    scatter-adds + two ``psum``s per CG iteration (ICI traffic per LM
+    iteration ≈ one [L,3,3] block reduce + cg_iters·([L,3]+[K,6])).
+    State (poses, points) stays replicated.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    obs = pad_obs_to_devices(obs, n_dev)
+    K, L = R_cw.shape[0], X.shape[0]
+
+    obs_spec = Observations(
+        kf=P(axis), lm=P(axis), uv=P(axis), u_right=P(axis),
+        inv_sigma2=P(axis), valid=P(axis),
+    )
+    eye3 = jnp.eye(3)
+    eye6 = jnp.eye(6)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), obs_spec),
+        out_specs=(P(), P(), P()),
+    )
+    def run(R0, t0, X0, obs_l):
+        free_p = (~fixed_pose).astype(jnp.float32)
+        free_l = (~fixed_point).astype(jnp.float32)
+
+        def total_cost(R, t, Xc):
+            r, _, dok = factors.reproj_residuals(
+                R, t, Xc, obs_l, cam_params, bf
+            )
+            chi2 = jnp.sum(r * r, axis=-1) * obs_l.inv_sigma2
+            d2 = jnp.where(
+                obs_l.u_right >= 0, factors.CHI2_STEREO, factors.CHI2_MONO
+            )
+            c = jnp.sum(ba._robust_cost(chi2, d2) * (obs_l.valid & dok))
+            return jax.lax.psum(c, axis)
+
+        def lm_iter(carry, _):
+            R, t, Xc, lam, best_cost = carry
+            r, row_mask, depth_ok = factors.reproj_residuals(
+                R, t, Xc, obs_l, cam_params, bf
+            )
+            chi2 = jnp.sum(r * r, axis=-1) * obs_l.inv_sigma2
+            d2 = jnp.where(
+                obs_l.u_right >= 0, factors.CHI2_STEREO, factors.CHI2_MONO
+            )
+            w_h = factors.huber_weight(chi2, d2)
+            w = obs_l.inv_sigma2 * w_h * (obs_l.valid & depth_ok)
+            Jp, Jl = factors.reproj_jacobians(R, t, Xc, obs_l, cam_params, bf)
+            Jp = Jp * row_mask[:, :, None]
+            Jl = Jl * row_mask[:, :, None]
+            kf_l, lm_l = obs_l.kf, obs_l.lm
+            Hpp = jax.lax.psum(
+                jnp.zeros((K, 6, 6)).at[kf_l].add(
+                    w[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp)
+                ), axis,
+            )
+            Hll = jax.lax.psum(
+                jnp.zeros((L, 3, 3)).at[lm_l].add(
+                    w[:, None, None] * jnp.einsum("oij,oik->ojk", Jl, Jl)
+                ), axis,
+            )
+            bp = jax.lax.psum(
+                jnp.zeros((K, 6)).at[kf_l].add(
+                    -w[:, None] * jnp.einsum("oij,oi->oj", Jp, r)
+                ), axis,
+            ) * free_p[:, None]
+            bl = jax.lax.psum(
+                jnp.zeros((L, 3)).at[lm_l].add(
+                    -w[:, None] * jnp.einsum("oij,oi->oj", Jl, r)
+                ), axis,
+            ) * free_l[:, None]
+            A = (w * free_p[kf_l] * free_l[lm_l])[:, None, None] * jnp.einsum(
+                "oij,oik->ojk", Jp, Jl
+            )  # local shard's coupling blocks [O/n,6,3]
+
+            Hll_d = Hll + lam * eye3[None] * (
+                jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0 + 1e-3
+            )
+            Hll_d = jnp.where(fixed_point[:, None, None], eye3[None], Hll_d)
+            Hll_inv = jnp.linalg.inv(Hll_d)
+            Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(
+                jax.vmap(jnp.diag)(Hpp)
+            ) + 1e-6 * eye6[None]
+            Hpp_d = jnp.where(fixed_pose[:, None, None], eye6[None], Hpp_d)
+
+            def Wt(v):  # [K,6] → [L,3], psum'd
+                u = jnp.zeros((L, 3)).at[lm_l].add(
+                    jnp.einsum("oij,oi->oj", A, v[kf_l])
+                )
+                return jax.lax.psum(u, axis)
+
+            def Wv(y):  # [L,3] → [K,6], psum'd
+                u = jnp.zeros((K, 6)).at[kf_l].add(
+                    jnp.einsum("oij,oj->oi", A, y[lm_l])
+                )
+                return jax.lax.psum(u, axis)
+
+            def matvec(v):
+                y = jnp.einsum("lmn,ln->lm", Hll_inv, Wt(v))
+                Sv = jnp.einsum("kij,kj->ki", Hpp_d, v) - Wv(y)
+                return jnp.where(fixed_pose[:, None], v, Sv)
+
+            y0 = jnp.einsum("lmn,ln->lm", Hll_inv, bl)
+            b_s = jnp.where(fixed_pose[:, None], 0.0, bp - Wv(y0))
+            Minv = jnp.linalg.inv(Hpp_d)
+            dp = ba._pcg(matvec, b_s, Minv, cg_iters) * free_p[:, None]
+            dl = jnp.einsum(
+                "lmn,ln->lm", Hll_inv, bl - Wt(dp)
+            ) * free_l[:, None]
+
             dR, dt = lie.se3_exp(dp)
             R_new = dR @ R
             t_new = jnp.einsum("kij,kj->ki", dR, t) + dt

@@ -60,3 +60,37 @@ class TestDistributedBA:
         )
         # noise-free from GT: stays at GT
         assert float(jnp.abs(td - t_gt).max()) < 1e-4
+
+    def test_cg_matches_single_device(self):
+        """Obs-sharded matrix-free PCG Schur must agree with the
+        single-device CG solver and recover ground truth."""
+        key = jax.random.PRNGKey(13)
+        R_gt, t_gt, X_gt = make_world(key, n_points=150, n_poses=5)
+        obs = project_all(R_gt, t_gt, X_gt, stereo=True)
+        k1, k2, k3 = jax.random.split(key, 3)
+        obs = obs._replace(uv=obs.uv + 0.3 * jax.random.normal(k1, obs.uv.shape))
+        xi = 0.02 * jax.random.normal(k2, (5, 6)).at[0].set(0.0)
+        dR, dt = lie.se3_exp(xi)
+        R0 = dR @ R_gt
+        t0 = jnp.einsum("kij,kj->ki", dR, t_gt) + dt
+        X0 = X_gt + 0.05 * jax.random.normal(k3, X_gt.shape)
+        fixed_pose = jnp.zeros((5,), bool).at[0].set(True)
+        fixed_point = jnp.zeros((150,), bool)
+
+        mesh = dist_ba.make_mesh(8)
+        Rd, td, Xd = dist_ba.distributed_bundle_adjust_cg(
+            mesh, R0, t0, X0, obs, fixed_pose, fixed_point, CAM, BF,
+            iters=10, cg_iters=30,
+        )
+        t_err = np.abs(np.asarray(td - t_gt)).max()
+        assert t_err < 0.01, t_err
+        res = ba.bundle_adjust_cg(
+            R0, t0, X0, obs, fixed_pose, fixed_point, CAM, BF, iters=10,
+            cg_iters=30,
+        )
+        np.testing.assert_allclose(
+            np.asarray(td), np.asarray(res.t_cw), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(Xd), np.asarray(res.X), atol=5e-3
+        )
