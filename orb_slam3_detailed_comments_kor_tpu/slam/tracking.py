@@ -501,10 +501,13 @@ def add_triangulated_landmarks(
 
     Arrays are indexed by kf_a's feature slots: feat_b [N] matching feature
     in kf_b (−1 none), X_w [N,3] world positions, want [N] gate mask.
+    kf_b may be a scalar (two-view init) or a per-feature [N] array (the
+    multi-neighbour mapping-time triangulation).
     Used by monocular initialization and by mapping-time triangulation
     (LocalMapping::CreateNewMapPoints, ``LocalMapping.cc:492``).
     """
     N = ms.N
+    kf_b = jnp.broadcast_to(jnp.asarray(kf_b, jnp.int32), feat_b.shape)
     slots = msx.allocate_slots(~ms.lm_valid, want)
     got = slots >= 0
     sl = jnp.where(got, slots, ms.L)
@@ -533,17 +536,21 @@ def add_triangulated_landmarks(
             jnp.full((N,), kf_a, jnp.int32), mode="drop"
         ),
     )
-    # obs rows: kf_a at its own feature slots; kf_b at the matched slots
+    # obs rows: kf_a at its own feature slots; each feature's chosen
+    # neighbour at the matched slot (2-D scatter; invalids park off-range)
     row_a = jnp.where(got, slots, ms.obs_lm[kf_a])
     ms = ms._replace(obs_lm=ms.obs_lm.at[kf_a].set(row_a))
-    fb = jnp.where(got & (feat_b >= 0), feat_b, N)  # park invalid at N
-    row_b = ms.obs_lm[kf_b].at[fb].set(slots, mode="drop")
-    ms = ms._replace(obs_lm=ms.obs_lm.at[kf_b].set(row_b))
+    ok_b = got & (feat_b >= 0) & (kf_b >= 0)
+    nbv = jnp.where(ok_b, kf_b, ms.K)
+    fbv = jnp.where(ok_b, feat_b, N)
+    ms = ms._replace(
+        obs_lm=ms.obs_lm.at[nbv, fbv].set(slots, mode="drop")
+    )
     return ms
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "n_levels", "w", "h",
-                                              "cam_model"))
+                                              "cam_model", "n_neighbors"))
 def triangulate_with_neighbor(
     ms: msx.MapState,
     kf_idx: jnp.ndarray,
@@ -555,11 +562,18 @@ def triangulate_with_neighbor(
     max_reproj_px: float = 2.0,
     min_parallax_cos: float = 0.99998,
     cam_model: str = "pinhole",
+    n_neighbors: int = 5,
 ):
     """Mapping-time triangulation of a keyframe's unmatched features against
-    its most covisible neighbour (CreateNewMapPoints essentials).
+    its ``n_neighbors`` most covisible keyframes
+    (``LocalMapping::CreateNewMapPoints``, ``src/LocalMapping.cc:492-954``
+    loops ~20 covisible KFs; ``SearchForTriangulation``,
+    ``src/ORBmatcher.cc:965``). Each feature keeps the candidate with the
+    strongest parallax among the neighbours that pass the gates — mono map
+    density no longer depends on a single baseline.
 
-    Returns (feat_b [N], X_w [N,3], want [N], neighbor_idx).
+    Returns (feat_b [N], X_w [N,3], want [N], nb_of_feat [N]) where
+    nb_of_feat is the per-feature chosen neighbour keyframe index.
     """
     from orb_slam3_detailed_comments_kor_tpu.models import camera as cm
     from orb_slam3_detailed_comments_kor_tpu.ops import twoview
@@ -568,49 +582,67 @@ def triangulate_with_neighbor(
     cov = msx.covisibility_weights(ms, kf_idx[None])[0]
     cov = cov.at[kf_idx].set(-1)
     cov = jnp.where(ms.kf_valid, cov, -1)
-    nb = jnp.argmax(cov).astype(jnp.int32)
+    _, nbs = jax.lax.top_k(cov, n_neighbors)  # [Nb]
+    nb_ok = jnp.take(cov, nbs) > 0
 
     da = orb_ops.unpack_descriptors(ms.kf_desc[kf_idx])
-    db = orb_ops.unpack_descriptors(ms.kf_desc[nb])
     va = ms.kf_feat_valid[kf_idx] & (ms.obs_lm[kf_idx] < 0)
-    vb = ms.kf_feat_valid[nb] & (ms.obs_lm[nb] < 0)
-    res = matching.match_nn_ratio(da, db, va, vb, max_dist=50, ratio=0.8)
-    feat_b = jnp.where(res.valid, res.idx, -1)
-    fb = jnp.clip(feat_b, 0)
-
     rays_a = cm.unproject(cam_params, ms.kf_xy[kf_idx], cam_model)
-    rays_b_all = cm.unproject(cam_params, ms.kf_xy[nb], cam_model)
-    rays_b = rays_b_all[fb]
-    # relative transform a→b: T_b_a = T_cw_b ∘ inv(T_cw_a)
     Ra, ta = ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx]
-    Rb, tb = ms.kf_R_cw[nb], ms.kf_t_cw[nb]
     Rai, tai = lie.se3_inverse(Ra, ta)
-    R_ba, t_ba = lie.se3_compose(Rb, tb, Rai, tai)
-    X_a, dep_a, dep_b = twoview.triangulate_midpoint(R_ba, t_ba, rays_a, rays_b)
-
-    # gates: cheirality, reprojection in both views, parallax
-    uv_a = cm.project(cam_params, X_a, cam_model)
-    X_b = X_a @ R_ba.T + t_ba
-    uv_b = cm.project(cam_params, X_b, cam_model)
-    err_a = jnp.linalg.norm(uv_a - ms.kf_xy[kf_idx], axis=-1)
-    err_b = jnp.linalg.norm(uv_b - ms.kf_xy[nb, fb], axis=-1)
     sigma_a = scale ** ms.kf_level[kf_idx].astype(jnp.float32)
-    ob = -R_ba.T @ t_ba
-    v1 = X_a / jnp.maximum(jnp.linalg.norm(X_a, axis=-1, keepdims=True), 1e-9)
-    v2 = X_a - ob
-    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-9)
-    cospar = jnp.sum(v1 * v2, axis=-1)
-    want = (
-        res.valid
-        & (dep_a > 0.05) & (dep_b > 0.05)
-        & (err_a < max_reproj_px * sigma_a)
-        & (err_b < max_reproj_px * sigma_a)
-        & (cospar < min_parallax_cos)
+
+    def per_neighbor(nb, ok):
+        db = orb_ops.unpack_descriptors(ms.kf_desc[nb])
+        vb = ms.kf_feat_valid[nb] & (ms.obs_lm[nb] < 0) & ok
+        res = matching.match_nn_ratio(da, db, va, vb, max_dist=50, ratio=0.8)
+        fb = jnp.clip(res.idx, 0)
+        rays_b = cm.unproject(cam_params, ms.kf_xy[nb], cam_model)[fb]
+        Rb, tb = ms.kf_R_cw[nb], ms.kf_t_cw[nb]
+        R_ba, t_ba = lie.se3_compose(Rb, tb, Rai, tai)
+        X_a, dep_a, dep_b = twoview.triangulate_midpoint(
+            R_ba, t_ba, rays_a, rays_b
+        )
+        uv_a = cm.project(cam_params, X_a, cam_model)
+        X_b = X_a @ R_ba.T + t_ba
+        uv_b = cm.project(cam_params, X_b, cam_model)
+        err_a = jnp.linalg.norm(uv_a - ms.kf_xy[kf_idx], axis=-1)
+        err_b = jnp.linalg.norm(uv_b - ms.kf_xy[nb, fb], axis=-1)
+        ob = -R_ba.T @ t_ba
+        v1 = X_a / jnp.maximum(
+            jnp.linalg.norm(X_a, axis=-1, keepdims=True), 1e-9
+        )
+        v2 = X_a - ob
+        v2 = v2 / jnp.maximum(
+            jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-9
+        )
+        cospar = jnp.sum(v1 * v2, axis=-1)
+        good = (
+            res.valid & ok
+            & (dep_a > 0.05) & (dep_b > 0.05)
+            & (err_a < max_reproj_px * sigma_a)
+            & (err_b < max_reproj_px * sigma_a)
+            & (cospar < min_parallax_cos)
+        )
+        return jnp.where(res.valid, res.idx, -1), X_a, good, cospar
+
+    feat_b_n, X_a_n, good_n, cospar_n = jax.vmap(per_neighbor)(nbs, nb_ok)
+
+    # per feature: keep the passing neighbour with the LOWEST cos-parallax
+    # (strongest baseline — best-conditioned triangulation)
+    key = jnp.where(good_n, cospar_n, jnp.inf)   # [Nb,N]
+    pick = jnp.argmin(key, axis=0)               # [N]
+    rows = jnp.arange(N)
+    want = jnp.take_along_axis(good_n, pick[None, :], axis=0)[0]
+    feat_b = jnp.where(
+        want, feat_b_n[pick, rows], -1
     )
+    X_a_sel = X_a_n[pick, rows]
+    nb_of_feat = jnp.where(want, nbs[pick], -1)
+
     # world coordinates
-    Rwi, twi = lie.se3_inverse(Ra, ta)
-    X_w = X_a @ Rwi.T + twi
-    return feat_b, X_w, want, nb
+    X_w = X_a_sel @ Rai.T + tai
+    return feat_b, X_w, want, nb_of_feat
 
 
 @jax.jit

@@ -113,6 +113,7 @@ class TestMonoInertial:
         n = min(len(centers), len(gt))
         rmse = ate.ate_rmse(centers[:n], gt[:n])  # aligned (scale-free) ATE
         # mono + sliding-window VI-BA drifts without loop closure; the
-        # bound reflects map-drift level (~2% of a 5.9 m path), dominated
-        # by the weakly-constrained pre-VI-init planar bootstrap segment
-        assert rmse < 0.13, rmse
+        # bound reflects map-drift level (<1% of a 5.9 m path). Multi-
+        # neighbour triangulation + the LK stereo refine + the third
+        # tracking stage brought the r1 regression (0.111) down to ~0.023.
+        assert rmse < 0.05, rmse
