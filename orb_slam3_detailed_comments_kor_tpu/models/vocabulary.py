@@ -110,10 +110,10 @@ def load_default() -> "Vocabulary":
     path = os.path.join(os.path.dirname(__file__), "default_vocab.npz")
     z = np.load(path)
     return Vocabulary(
-        centroids=jnp.asarray(z["centroids"]),
+        centroids=jnp.asarray(z["centroids"].astype(np.float32)),
         k=int(z["k"]),
         depth=int(z["depth"]),
-        idf=jnp.asarray(z["idf"]),
+        idf=jnp.asarray(z["idf"].astype(np.float32)),
     )
 
 

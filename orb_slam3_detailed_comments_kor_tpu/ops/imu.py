@@ -207,3 +207,9 @@ def compose(p1: Preintegrated, p2: Preintegrated) -> Preintegrated:
         JPa=p1.JPa + p1.JVa * p2.dt + p1.dR @ p2.JPa,
         bias_g=p1.bias_g, bias_a=p1.bias_a,
     )
+
+
+# jitted entry points for the per-frame incremental path (each eager op
+# through the remote tunnel is a separate dispatch; these make one each)
+integrate_j = jax.jit(integrate)
+compose_j = jax.jit(compose)

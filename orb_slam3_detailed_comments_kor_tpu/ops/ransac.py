@@ -94,6 +94,130 @@ def sim3_ransac(
     return RansacResult(R=R, t=t, s=s, inliers=inl, n_inliers=jnp.sum(inl))
 
 
+def sim3_ransac_reproj(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    uv_a: jnp.ndarray,
+    uv_b: jnp.ndarray,
+    sigma2_a: jnp.ndarray,
+    sigma2_b: jnp.ndarray,
+    pose_a,
+    pose_b,
+    cam_params: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jnp.ndarray,
+    n_hyp: int = 128,
+    chi2_th: float = 9.21,
+    fix_scale: bool = True,
+    refine_iters: int = 8,
+) -> RansacResult:
+    """Sim3 RANSAC with REPROJECTION inlier gating in both cameras, plus a
+    Gauss-Newton reprojection refine of the winning hypothesis.
+
+    Mirrors ``Sim3Solver::CheckInliers`` (project each side's points
+    through the hypothesis into the OTHER keyframe's camera and gate the
+    pixel error per feature scale) and ``Optimizer::OptimizeSim3``
+    (``src/Optimizer.cc:3251``). A 3-D-distance gate is scale-dependent in
+    monocular maps (arbitrary gauge) — pixels are gauge-free.
+
+    src/dst [M,3] matched landmark positions (current / loop side);
+    uv_a/uv_b [M,2] their observed pixels in keyframes a (current) and b
+    (loop); sigma2_* per-feature σ² (scale^2·level); pose_a/pose_b
+    (R_cw, t_cw) of the two keyframes. The estimated warp maps
+    current-map coordinates into loop-side coordinates: dst ≈ s·R·src + t.
+    """
+    fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+    Ra, ta = pose_a
+    Rb, tb = pose_b
+    M = src.shape[0]
+
+    def project(R_cw, t_cw, P):
+        pc = P @ R_cw.T + t_cw
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        return (
+            jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1),
+            pc[:, 2] > 1e-3,
+        )
+
+    def reproj_inliers(R, t, s):
+        # forward: current points into the loop keyframe's camera
+        Xb_hat = s * (src @ R.T) + t
+        pb, okb = project(Rb, tb, Xb_hat)
+        eb = jnp.sum((pb - uv_b) ** 2, -1) / jnp.maximum(sigma2_b, 1e-6)
+        # backward: loop points into the current keyframe's camera
+        si = 1.0 / jnp.maximum(s, 1e-9)
+        Xa_hat = si * ((dst - t) @ R)
+        pa, oka = project(Ra, ta, Xa_hat)
+        ea = jnp.sum((pa - uv_a) ** 2, -1) / jnp.maximum(sigma2_a, 1e-6)
+        return (eb < chi2_th) & (ea < chi2_th) & oka & okb & valid
+
+    probs = valid.astype(jnp.float32)
+    probs = probs / jnp.maximum(probs.sum(), 1e-9)
+    idx = jax.random.choice(key, M, shape=(n_hyp, 3), p=probs)
+
+    def one(tri):
+        w = jnp.zeros((M,)).at[tri].set(1.0) * valid
+        R, t, s = horn_align(src, dst, w, fix_scale)
+        inl = reproj_inliers(R, t, s)
+        return R, t, s, jnp.sum(inl)
+
+    Rs, ts, ss, counts = jax.vmap(one)(idx)
+    best = jnp.argmax(counts)
+    R, t, s = Rs[best], ts[best], ss[best]
+    inl = reproj_inliers(R, t, s)
+
+    # Horn refit on inliers, then Gauss-Newton on both-direction
+    # reprojection residuals over (φ, ρ, λ) — OptimizeSim3's objective
+    R, t, s = horn_align(src, dst, inl.astype(jnp.float32), fix_scale)
+
+    def residuals(params, R0, t0, s0):
+        phi, rho, lam = params[:3], params[3:6], params[6]
+        dR = lie.so3_exp(phi)
+        R_ = dR @ R0
+        s_ = s0 * jnp.exp(lam if not fix_scale else 0.0 * lam)
+        t_ = dR @ t0 + rho
+        Xb_hat = s_ * (src @ R_.T) + t_
+        pcb = Xb_hat @ Rb.T + tb
+        zb = jnp.maximum(pcb[:, 2], 1e-6)
+        pb = jnp.stack(
+            [fx * pcb[:, 0] / zb + cx, fy * pcb[:, 1] / zb + cy], -1
+        )
+        si = 1.0 / jnp.maximum(s_, 1e-9)
+        Xa_hat = si * ((dst - t_) @ R_)
+        pca = Xa_hat @ Ra.T + ta
+        za = jnp.maximum(pca[:, 2], 1e-6)
+        pa = jnp.stack(
+            [fx * pca[:, 0] / za + cx, fy * pca[:, 1] / za + cy], -1
+        )
+        wb = (inl / jnp.maximum(sigma2_b, 1e-6))[:, None]
+        wa = (inl / jnp.maximum(sigma2_a, 1e-6))[:, None]
+        return jnp.concatenate(
+            [((pb - uv_b) * jnp.sqrt(wb)).reshape(-1),
+             ((pa - uv_a) * jnp.sqrt(wa)).reshape(-1)]
+        )
+
+    def gn_step(carry, _):
+        R_, t_, s_ = carry
+        f = lambda p: residuals(p, R_, t_, s_)
+        p0 = jnp.zeros((7,))
+        r0 = f(p0)
+        J = jax.jacfwd(f)(p0)  # [4M, 7]
+        H = J.T @ J + 1e-6 * jnp.eye(7)
+        dx = -jnp.linalg.solve(H, J.T @ r0)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        dR = lie.so3_exp(dx[:3])
+        R_n = dR @ R_
+        t_n = dR @ t_ + dx[3:6]
+        s_n = s_ * jnp.exp(jnp.where(fix_scale, 0.0, dx[6]))
+        return (R_n, t_n, s_n), None
+
+    (R, t, s), _ = jax.lax.scan(gn_step, (R, t, s), None,
+                                length=refine_iters)
+    R = lie.project_to_so3(R)
+    inl = reproj_inliers(R, t, s)
+    return RansacResult(R=R, t=t, s=s, inliers=inl, n_inliers=jnp.sum(inl))
+
+
 def pnp_ransac(
     X: jnp.ndarray,
     uv: jnp.ndarray,

@@ -90,6 +90,23 @@ def store_preintegration(
 
 
 @jax.jit
+def predict_from_pre(pre: imu_ops.Preintegrated, kf_R_cw, kf_t_cw, vel,
+                     bg, ba, gravity, R_cb, t_cb):
+    """One-dispatch PredictStateIMU (``Tracking.cc:1561``): dead-reckon the
+    camera pose from a keyframe's VI state through a preintegrated window."""
+    R_bc, t_bc = lie.se3_inverse(R_cb, t_cb)
+    R_bw_kf = R_bc @ kf_R_cw
+    t_bw_kf = R_bc @ kf_t_cw + t_bc
+    R_wb = R_bw_kf.T
+    p_wb = -R_bw_kf.T @ t_bw_kf
+    R2, p2, v2 = imu_ops.predict_state(pre, R_wb, p_wb, vel, bg, ba, gravity)
+    R_bw2 = R2.T
+    t_bw2 = -R2.T @ p2
+    R_pred, t_pred = lie.se3_compose(R_cb, t_cb, R_bw2, t_bw2)
+    return R_pred, t_pred, v2
+
+
+@jax.jit
 def merge_and_compact(ikf: InertialKF, keep: jnp.ndarray) -> InertialKF:
     """Inertial-chain counterpart of keyframe culling + slot compaction.
 

@@ -122,8 +122,9 @@ class LoopCloser:
         self._last_cand = -1
 
     # ------------------------------------------------------------------
-    def detect(self, kf_idx: int, n_kf: int) -> int:
-        """BoW candidate + temporal consistency. Returns candidate kf or -1.
+    def detect(self, ms: msx.MapState, kf_idx: int, n_kf: int) -> int:
+        """BoW top-3 candidates + temporal consistency. Returns the
+        consistent candidate kf or -1.
 
         Synchronous form (used by tests / offline paths); the live system
         uses :meth:`detect_async` + :meth:`poll_detect` to hide the scalar
@@ -131,17 +132,15 @@ class LoopCloser:
         """
         if self.vocab is None or kf_idx < self.min_gap:
             return -1
-        # one dispatch + one 2-scalar pull; temporally-near keyframes are
-        # masked on device (the reference excludes covisible ones; temporal
-        # distance is the stereo-rig equivalent)
         cs = np.asarray(
             _detect_core(
-                self.bow_db, jnp.int32(kf_idx), jnp.int32(n_kf), self.min_gap
+                self.bow_db, ms, jnp.int32(kf_idx), jnp.int32(n_kf),
+                self.min_gap,
             )
         )
         return self._consistency_gate(kf_idx, cs)
 
-    def detect_async(self, kf_idx: int, n_kf: int):
+    def detect_async(self, ms: msx.MapState, kf_idx: int, n_kf: int):
         """Dispatch detection for this KF and return the result for the
         PREVIOUSLY dispatched KF as ``(kf_idx_prev, cand)`` (cand = -1 when
         nothing fired). The one-keyframe lag matches the reference's
@@ -149,7 +148,8 @@ class LoopCloser:
         out = self.poll_detect()
         if self.vocab is not None and kf_idx >= self.min_gap:
             cs = _detect_core(
-                self.bow_db, jnp.int32(kf_idx), jnp.int32(n_kf), self.min_gap
+                self.bow_db, ms, jnp.int32(kf_idx), jnp.int32(n_kf),
+                self.min_gap,
             )
             try:
                 cs.copy_to_host_async()
@@ -167,25 +167,42 @@ class LoopCloser:
         return kf_prev, self._consistency_gate(kf_prev, np.asarray(cs_dev))
 
     def _consistency_gate(self, kf_idx: int, cs) -> int:
-        """Temporal-consistency filter over raw (cand, score) readings."""
-        cand, best = int(cs[0]), float(cs[1])
-        if best < self.min_score:
+        """Temporal-consistency filter over the top-N (cand, score) rows:
+        detection fires once ≥``consistency_needed`` consecutive keyframes
+        agreed on (nearly) the same place (``LoopClosing.cc:447,502``);
+        the alternates keep a near-miss from resetting the streak."""
+        cs = np.atleast_2d(np.asarray(cs))
+        cands = [int(c) for c, s in cs if s >= self.min_score and c >= 0]
+        if not cands:
             self._consecutive = 0
             self._last_cand = -1
             return -1
-        if self._last_cand >= 0 and abs(cand - self._last_cand) <= 3:
+        hit = -1
+        if self._last_cand >= 0:
+            for c in cands:
+                if abs(c - self._last_cand) <= 3:
+                    hit = c
+                    break
+        if hit >= 0:
             self._consecutive += 1
+            self._last_cand = hit
         else:
             self._consecutive = 1
-        self._last_cand = cand
+            self._last_cand = cands[0]
+        # alternates tried by verify() if the primary fails geometry
+        self._alternates = [c for c in cands if c != self._last_cand]
         if self._consecutive >= self.consistency_needed:
-            return cand
+            return self._last_cand
         return -1
 
     # ------------------------------------------------------------------
     def verify(self, ms: msx.MapState, kf_idx: int, cand: int, key,
-               fix_scale: bool = True):
-        """Geometric verification: descriptor match + 3-D Horn RANSAC.
+               fix_scale: bool = True, cam_params=None):
+        """Geometric verification: descriptor match + Sim3 RANSAC gated by
+        REPROJECTION error in both keyframes' cameras, followed by a
+        Gauss-Newton reprojection refine (``Sim3Solver::CheckInliers`` +
+        ``Optimizer::OptimizeSim3``, ``src/Optimizer.cc:3251``). Falls back
+        to the 3-D-distance gate when no camera is given (unit tests).
 
         Returns (ok, R, t, s) with X_correct ≈ s·R·X_drifted + t
         (world→world). fix_scale=False for monocular maps, whose loop
@@ -193,10 +210,16 @@ class LoopCloser:
         bFixScale=false, ``LoopClosing.cc:767``).
         One fused dispatch + one scalar pull.
         """
-        n_inl, R, t, s = _verify_core(
-            ms.kf_desc, ms.kf_feat_valid, ms.obs_lm, ms.lm_pos,
-            jnp.int32(kf_idx), jnp.int32(cand), key, fix_scale,
-        )
+        if cam_params is None:
+            n_inl, R, t, s = _verify_core(
+                ms.kf_desc, ms.kf_feat_valid, ms.obs_lm, ms.lm_pos,
+                jnp.int32(kf_idx), jnp.int32(cand), key, fix_scale,
+            )
+        else:
+            n_inl, R, t, s = _verify_core_reproj(
+                ms, jnp.int32(kf_idx), jnp.int32(cand), key, cam_params,
+                fix_scale,
+            )
         ok = int(n_inl) >= self.min_inliers
         return ok, R, t, s
 
@@ -265,14 +288,56 @@ def _add_kf_core(db, kf_idx, desc_bits, valid, centroids, idf, k, depth):
     return db.at[kf_idx].set(bow)
 
 
+#: BoW candidates returned per query (DetectNBestCandidates' nNumCandidates,
+#: ``KeyFrameDatabase.cc:604``)
+N_CAND = 3
+
+
 @functools.partial(jax.jit, static_argnames=("min_gap",))
-def _detect_core(db, kf_idx, n_kf, min_gap):
-    scores = voc.l1_score(db[kf_idx][None, :], db)
-    kk = jnp.arange(db.shape[0])
+def _detect_core(db, ms: msx.MapState, kf_idx, n_kf, min_gap):
+    """Covisibility-group place-recognition scoring.
+
+    The reference accumulates BoW scores over each candidate's covisibility
+    group, takes the N best groups, and returns each group's best member
+    (``KeyFrameDatabase::DetectNBestCandidates``, ``KeyFrameDatabase.cc:
+    228,604``); the acceptance floor is the lowest score between the query
+    and its OWN covisible neighbours (DetectLoopCandidates' minScore).
+    Returns [N_CAND, 2]: (member kf, member score), score −1 ⇒ no candidate.
+    """
+    K = db.shape[0]
+    scores = voc.l1_score(db[kf_idx][None, :], db)  # [K]
+    kk = jnp.arange(K)
     near = (kk > kf_idx - min_gap) & (kk <= kf_idx)
-    scores = jnp.where((kk >= n_kf) | near, -1.0, scores)
-    cand = jnp.argmax(scores)
-    return jnp.stack([cand.astype(jnp.float32), scores[cand]])
+    in_map = (kk < n_kf) & ms.kf_valid
+
+    cov = msx.covisibility_weights(ms, kk)  # [K,K]
+    grp = (cov >= 15) | (kk[:, None] == kk[None, :])
+
+    # adaptive floor from the query's own covisible neighbours
+    covis_q = (cov[kf_idx] >= 15) & in_map & (kk != kf_idx)
+    ref_floor = jnp.min(jnp.where(covis_q, scores, jnp.inf))
+    floor = jnp.maximum(
+        jnp.where(jnp.isfinite(ref_floor), ref_floor, 0.02), 0.02
+    )
+
+    cand_ok = in_map & ~near & (scores >= floor)
+    s_masked = jnp.where(cand_ok, scores, 0.0)
+    acc = jnp.einsum("ck,k->c", grp.astype(jnp.float32), s_masked)
+    acc = jnp.where(cand_ok, acc, -1.0)
+    _, top = jax.lax.top_k(acc, N_CAND)
+    # best member within each winning group
+    member_scores = jnp.where(
+        grp[top] & cand_ok[None, :], scores[None, :], -1.0
+    )  # [N_CAND, K]
+    members = jnp.argmax(member_scores, axis=1)
+    m_scores = jnp.take_along_axis(
+        member_scores, members[:, None], axis=1
+    )[:, 0]
+    ok = acc[top] > 0
+    return jnp.stack(
+        [jnp.where(ok, members, -1).astype(jnp.float32),
+         jnp.where(ok, m_scores, -1.0)], axis=-1,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("fix_scale",))
@@ -294,6 +359,34 @@ def _verify_core(kf_desc, kf_feat_valid, obs_lm, lm_pos, kf_idx, cand, key,
     rr = ransac.sim3_ransac(
         src, dst, pair_ok, key, n_hyp=192, inlier_th=0.12,
         fix_scale=fix_scale,
+    )
+    return rr.n_inliers, rr.R, rr.t, rr.s
+
+
+@functools.partial(jax.jit, static_argnames=("fix_scale",))
+def _verify_core_reproj(ms: msx.MapState, kf_idx, cand, key, cam_params,
+                        fix_scale: bool = True):
+    """Reprojection-gated geometric verification (production path)."""
+    da = orb_ops.unpack_descriptors(ms.kf_desc[kf_idx])
+    db = orb_ops.unpack_descriptors(ms.kf_desc[cand])
+    va = ms.kf_feat_valid[kf_idx] & (ms.obs_lm[kf_idx] >= 0)
+    vb = ms.kf_feat_valid[cand] & (ms.obs_lm[cand] >= 0)
+    res = matching.match_nn_ratio(da, db, va, vb, max_dist=60, ratio=0.85)
+    feat_b = jnp.clip(res.idx, 0)
+    lm_a = ms.obs_lm[kf_idx]
+    lm_b = ms.obs_lm[cand, feat_b]
+    pair_ok = res.valid & (lm_a >= 0) & (lm_b >= 0)
+    src = ms.lm_pos[jnp.clip(lm_a, 0)]
+    dst = ms.lm_pos[jnp.clip(lm_b, 0)]
+    s2a = 1.2 ** (2.0 * ms.kf_level[kf_idx].astype(jnp.float32))
+    s2b = 1.2 ** (2.0 * ms.kf_level[cand, feat_b].astype(jnp.float32))
+    rr = ransac.sim3_ransac_reproj(
+        src, dst,
+        ms.kf_xy[kf_idx], ms.kf_xy[cand, feat_b],
+        s2a, s2b,
+        (ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx]),
+        (ms.kf_R_cw[cand], ms.kf_t_cw[cand]),
+        cam_params, pair_ok, key, n_hyp=192, fix_scale=fix_scale,
     )
     return rr.n_inliers, rr.R, rr.t, rr.s
 

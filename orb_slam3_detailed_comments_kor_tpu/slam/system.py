@@ -136,6 +136,14 @@ class SlamSystem:
             self._last_frame_time: Optional[float] = None
             self._last_kf_time: Optional[float] = None
             self.frame_vel = jnp.zeros(3)
+            # incremental preintegration: one short per-frame segment (each
+            # is ONE jitted scan over <=max_imu_per_frame samples) plus a
+            # running composition — the earlier formulation re-integrated
+            # the WHOLE window since the last keyframe every frame (a
+            # ~1280-step sequential scan per frame)
+            self._pre_segments: List[tuple] = []
+            self._pre_run = None
+            self._seg_t: Optional[float] = None
 
     # ------------------------------------------------------------------
     @property
@@ -502,6 +510,7 @@ class SlamSystem:
             self.imu_initialized = False
             self._imu_buf.clear()
             self._last_kf_time = None
+            self._reset_pre_segments()
         if hasattr(self, "_mono_ref"):
             self._mono_ref = None
 
@@ -639,6 +648,7 @@ class SlamSystem:
             self.imu_initialized = shelf["imu_initialized"]
             self._imu_buf.clear()
             self._last_kf_time = getattr(self, "_last_track_time", None)
+            self._reset_pre_segments()
             # the shelved map's last-KF velocity is stale: let the visual
             # motion model re-seed tracking for a couple of frames before
             # trusting IMU dead-reckoning again
@@ -876,6 +886,83 @@ class SlamSystem:
         sa = imu_cfg.noise_acc * np.sqrt(imu_cfg.frequency)
         return imu_ops.integrate(batch, bg, ba, float(sg), float(sa))
 
+    def _reset_pre_segments(self) -> None:
+        self._pre_segments = []
+        self._pre_run = None
+        self._seg_t = self._last_kf_time
+
+    def _integrate_new_samples(self, t: float) -> None:
+        """Integrate this frame's IMU samples into one cached segment and
+        fold it into the running window (IMU::Preintegrated incremental
+        ``IntegrateNewMeasurement`` use, ``ImuTypes.cc:254``)."""
+        from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
+
+        if self._last_kf_time is None:
+            return
+        if self._seg_t is None:
+            self._seg_t = self._last_kf_time
+        start = self._seg_t
+        buf = [s for s in self._imu_buf if start < s[0] <= t]
+        cap = self.cfg.capacity.max_imu_per_frame
+        buf = buf[:cap]
+        acc = np.zeros((cap, 3), np.float32)
+        gyro = np.zeros((cap, 3), np.float32)
+        dt = np.zeros((cap,), np.float32)
+        prev = start
+        for i, (ts, a, g) in enumerate(buf):
+            acc[i] = a
+            gyro[i] = g
+            dt[i] = max(ts - prev, 0.0)
+            prev = ts
+        batch = imu_ops.ImuBatch(
+            acc=jnp.asarray(acc), gyro=jnp.asarray(gyro), dt=jnp.asarray(dt),
+            valid=jnp.arange(cap) < len(buf),
+        )
+        kf_idx = max(self.n_kf - 1, 0)
+        imu_cfg = self.cfg.imu
+        sg = float(imu_cfg.noise_gyro * np.sqrt(imu_cfg.frequency))
+        sa = float(imu_cfg.noise_acc * np.sqrt(imu_cfg.frequency))
+        pre = imu_ops.integrate_j(
+            batch, self.ikf.bg[kf_idx], self.ikf.ba[kf_idx], sg, sa
+        )
+        self._pre_segments.append((t, pre))
+        self._pre_run = (
+            pre if self._pre_run is None
+            else imu_ops.compose_j(self._pre_run, pre)
+        )
+        self._seg_t = t
+
+    def _window_pre_consume(self, t_end: float):
+        """Compose the cached segments covering (last_kf_time, t_end] and
+        drop them (keyframe insertion consumes its window); the remaining
+        segments re-form the running prediction window. Falls back to a
+        full re-integration of the raw buffer when the cache doesn't cover
+        the span (map switches, init paths)."""
+        from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
+
+        eps = 1e-9
+        consumed = [p for (ts, p) in self._pre_segments if ts <= t_end + eps]
+        rest = [(ts, p) for (ts, p) in self._pre_segments if ts > t_end + eps]
+        covered = (
+            consumed
+            and self._last_kf_time is not None
+        )
+        if not covered:
+            self._reset_pre_segments()
+            return self._preintegrate_since_last_kf(t_end=t_end)
+        total = consumed[0]
+        for p in consumed[1:]:
+            total = imu_ops.compose_j(total, p)
+        self._pre_segments = rest
+        self._pre_run = None
+        if rest:
+            run = rest[0][1]
+            for _, p in rest[1:]:
+                run = imu_ops.compose_j(run, p)
+            self._pre_run = run
+        self._seg_t = rest[-1][0] if rest else t_end
+        return total
+
     def track_stereo_inertial(self, img_l, img_r, t: float, imu_samples=None) -> int:
         """Feed a stereo pair + the IMU samples since the previous frame.
 
@@ -893,9 +980,11 @@ class SlamSystem:
             if self.state == TrackingState.OK:  # first KF was created
                 self._last_kf_time = t
                 self._imu_buf.clear()
+                self._reset_pre_segments()
             self._last_frame_time = t
             return st
 
+        self._integrate_new_samples(t)
         # IMU prediction for the tracking front-end
         pred = self._imu_predicted_pose()
         if self.stereo_fisheye:
@@ -935,6 +1024,8 @@ class SlamSystem:
         window. Returns (R_pred, t_pred, velocity) or None before init."""
         from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
 
+        from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
         if not self.imu_initialized:
             return None
         if getattr(self, "_suppress_imu_pred", 0) > 0:
@@ -942,22 +1033,15 @@ class SlamSystem:
             return None
         if self._last_kf_time is None:
             return None
-        pre = self._preintegrate_since_last_kf()
+        pre = self._pre_run
+        if pre is None:
+            pre = self._preintegrate_since_last_kf()
         kf_idx = self.n_kf - 1
-        R_bc, t_bc = lie.se3_inverse(self.R_cb, self.t_cb)
-        R_bw_kf = R_bc @ self.ms.kf_R_cw[kf_idx]
-        t_bw_kf = R_bc @ self.ms.kf_t_cw[kf_idx] + t_bc
-        R_wb = R_bw_kf.T
-        p_wb = -R_bw_kf.T @ t_bw_kf
-        R2, p2, v2 = imu_ops.predict_state(
-            pre, R_wb, p_wb, self.ikf.vel[kf_idx],
-            self.ikf.bg[kf_idx], self.ikf.ba[kf_idx], self.gravity,
+        return inertial.predict_from_pre(
+            pre, self.ms.kf_R_cw[kf_idx], self.ms.kf_t_cw[kf_idx],
+            self.ikf.vel[kf_idx], self.ikf.bg[kf_idx], self.ikf.ba[kf_idx],
+            self.gravity, self.R_cb, self.t_cb,
         )
-        # predicted camera pose: T_cw = T_cb ∘ T_bw,  T_bw = inv(T_wb)
-        R_bw2 = R2.T
-        t_bw2 = -R2.T @ p2
-        R_pred, t_pred = lie.se3_compose(self.R_cb, self.t_cb, R_bw2, t_bw2)
-        return R_pred, t_pred, v2
 
     # ------------------------------------------------------------------
     # Monocular-inertial mode (System::TrackMonocular with vImuMeas —
@@ -986,9 +1070,11 @@ class SlamSystem:
                 )
                 self._imu_buf = [s for s in self._imu_buf if s[0] > t]
                 self._last_kf_time = t
+                self._reset_pre_segments()
             self._last_frame_time = t
             return st
 
+        self._integrate_new_samples(t)
         cam = self.cfg.camera
         self.n_frames += 1
         frame = frontend.process_mono(
@@ -1013,7 +1099,7 @@ class SlamSystem:
         """KF insertion + preintegration storage + VI init / local VI-BA."""
         from orb_slam3_detailed_comments_kor_tpu.slam import inertial
 
-        pre = self._preintegrate_since_last_kf(t_end=t)
+        pre = self._window_pre_consume(t)
         kf_idx = self.n_kf  # index the KF will get
         self._insert_keyframe_visual_only(frame, t, lm_feat)
         # velocity estimate: prediction if initialized, else finite diff
@@ -1289,7 +1375,7 @@ class SlamSystem:
             kf_idx, cand = self.loop_closer.poll_detect()
         else:
             kf_idx, cand = self.loop_closer.detect_async(
-                self.n_kf - 1, self.n_kf
+                self.ms, self.n_kf - 1, self.n_kf
             )
         if cand < 0:
             return
@@ -1302,10 +1388,23 @@ class SlamSystem:
             mode, gravity = "sim3", None
         else:
             mode, gravity = "se3", None
-        self._loop_key, sub = _jax.random.split(self._loop_key)
-        ok, R_d, t_d, s_d = self.loop_closer.verify(
-            self.ms, kf_idx, cand, sub, fix_scale=(mode != "sim3")
-        )
+        # reprojection-pixel gating needs the pinhole projection; fisheye
+        # maps keep the (scale-dependent) 3-D gate — their maps are metric
+        cam_for_gate = self.cam_params if self.cam_model == "pinhole" else None
+        candidates = [cand] + [
+            c for c in getattr(self.loop_closer, "_alternates", [])
+            if c >= 0
+        ][:2]
+        ok = False
+        for c in candidates:
+            self._loop_key, sub = _jax.random.split(self._loop_key)
+            ok, R_d, t_d, s_d = self.loop_closer.verify(
+                self.ms, kf_idx, c, sub, fix_scale=(mode != "sim3"),
+                cam_params=cam_for_gate,
+            )
+            if ok:
+                cand = c
+                break
         if not ok:
             return
         R_kf_old = self.ms.kf_R_cw[kf_idx]
@@ -1320,6 +1419,17 @@ class SlamSystem:
         # the chunked analog of the reference's background GBA thread
         # (``LoopClosing.cc:1269``; abort point ``mbStopGBA``)
         self._gba_chunks_left = 4
+        # SearchAndFuse (``LoopClosing.cc:2126``): after correction the two
+        # loop sides overlap — landmarks born on the current side that now
+        # coincide with loop-side ones are duplicates and must merge, or
+        # the map carries double walls forever
+        from orb_slam3_detailed_comments_kor_tpu.slam import map_merging
+
+        recent = self.ms.lm_valid & (self.ms.lm_first_kf >= max(kf_idx - 10, 0))
+        radius = max(0.5 * self.baseline, 0.02) if self.baseline > 0 else 0.05
+        self.ms, _ = map_merging.fuse_duplicate_landmarks(
+            self.ms, recent, radius=radius
+        )
         # re-base the live tracking pose onto the corrected map:
         # T_track' = T_track ∘ T_kf_old⁻¹ ∘ T_kf_new
         Ri, ti = lie.se3_inverse(R_kf_old, t_kf_old)
