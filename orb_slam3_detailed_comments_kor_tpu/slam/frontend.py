@@ -84,8 +84,21 @@ def process_stereo(
     )
 
 
+def _undistort_xy(xy, cam_params, dist):
+    """Keypoint undistortion (``Frame::UndistortKeyPoints``, ``src/Frame.cc:
+    733``): extraction runs on the RAW image; only the coordinates are
+    mapped through the inverse radial-tangential model."""
+    from orb_slam3_detailed_comments_kor_tpu.models import camera as cm
+
+    fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+    xn = jnp.stack([(xy[:, 0] - cx) / fx, (xy[:, 1] - cy) / fy], axis=-1)
+    xu = cm.undistort_radtan(jnp.asarray(dist, jnp.float32), xn)
+    return jnp.stack([fx * xu[:, 0] + cx, fy * xu[:, 1] + cy], axis=-1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_features", "n_levels", "scale", "cell")
+    jax.jit, static_argnames=("n_features", "n_levels", "scale", "cell",
+                              "dist")
 )
 def process_rgbd(
     img: jnp.ndarray,
@@ -95,11 +108,14 @@ def process_rgbd(
     n_levels: int = 8,
     scale: float = 1.2,
     cell: int = 32,
+    dist=None,
+    cam_params=None,
 ) -> Frame:
     """RGB-D front-end (Frame RGB-D ctor, ``src/Frame.cc:201``): ORB on the
-    gray image, depth sampled at each keypoint, synthetic right-u
-    u_r = u − bf/d (ComputeStereoFromRGBD semantics) so the whole stereo
-    pipeline downstream is reused unchanged."""
+    gray image, depth sampled at each keypoint (raw coordinates), keypoints
+    undistorted when ``dist`` is given, synthetic right-u u_r = u − bf/d
+    (ComputeStereoFromRGBD semantics) so the whole stereo pipeline
+    downstream is reused unchanged."""
     f = orb_ops.extract_orb(
         img, n_features=n_features, n_levels=n_levels, scale=scale, cell=cell
     )
@@ -107,10 +123,13 @@ def process_rgbd(
     xi = jnp.clip(jnp.round(f.xy[:, 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(f.xy[:, 1]).astype(jnp.int32), 0, h - 1)
     d = depth_map[yi, xi]
+    xy = f.xy
+    if dist is not None and any(abs(v) > 0 for v in dist):
+        xy = _undistort_xy(xy, cam_params, dist)
     ok = f.valid & (d > 0.05)
-    u_right = jnp.where(ok, f.xy[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
+    u_right = jnp.where(ok, xy[:, 0] - bf / jnp.maximum(d, 1e-6), -1.0)
     return Frame(
-        xy=f.xy,
+        xy=xy,
         level=f.level,
         angle=f.angle,
         desc=f.desc,
@@ -122,7 +141,8 @@ def process_rgbd(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_features", "n_levels", "scale", "cell")
+    jax.jit, static_argnames=("n_features", "n_levels", "scale", "cell",
+                              "dist")
 )
 def process_mono(
     img: jnp.ndarray,
@@ -130,13 +150,18 @@ def process_mono(
     n_levels: int = 8,
     scale: float = 1.2,
     cell: int = 32,
+    dist=None,
+    cam_params=None,
 ) -> Frame:
     f = orb_ops.extract_orb(
         img, n_features=n_features, n_levels=n_levels, scale=scale, cell=cell
     )
+    xy = f.xy
+    if dist is not None and any(abs(v) > 0 for v in dist):
+        xy = _undistort_xy(xy, cam_params, dist)
     n = f.xy.shape[0]
     return Frame(
-        xy=f.xy,
+        xy=xy,
         level=f.level,
         angle=f.angle,
         desc=f.desc,

@@ -50,6 +50,15 @@ class SlamSystem:
         self.ms = msx.empty_map(cap.max_keyframes, self.n_feat, cap.max_landmarks)
         self.cam_params = cam_mod.camera_params_from_config(config.camera)
         self.cam_model = config.camera.model
+        # raw pinhole inputs with distortion: keypoints are undistorted at
+        # extraction (Frame::UndistortKeyPoints, src/Frame.cc:733); stereo
+        # pinhole inputs are assumed rectified (as the reference's loaders do)
+        self._dist = (
+            tuple(float(v) for v in config.camera.dist)
+            if (config.camera.model == "pinhole"
+                and any(abs(v) > 0 for v in config.camera.dist))
+            else None
+        )
         # stereo-fisheye: dual KannalaBrandt8 with calibrated extrinsic
         # (reference Frame.cc:1021; TUM_512.yaml Camera2.* + Tlr)
         self.stereo_fisheye = (
@@ -194,19 +203,22 @@ class SlamSystem:
         self._check_timestamp_jump(t)
 
         if self.stereo_fisheye:
-            frame = frontend.process_stereo_fisheye(
-                jnp.asarray(img_l, jnp.float32),
-                jnp.asarray(img_r, jnp.float32),
-                self.cam_params, self.cam_params_r, self.R_rl, self.t_rl,
-                n_features=self.cfg.orb.n_features,
-                n_levels=self.cfg.orb.n_levels,
-                scale=self.cfg.orb.scale_factor,
-                cell=self.cfg.orb.cell_size,
-            )
             if self.state == TrackingState.NOT_INITIALIZED:
+                frame = frontend.process_stereo_fisheye(
+                    jnp.asarray(img_l, jnp.float32),
+                    jnp.asarray(img_r, jnp.float32),
+                    self.cam_params, self.cam_params_r, self.R_rl, self.t_rl,
+                    n_features=self.cfg.orb.n_features,
+                    n_levels=self.cfg.orb.n_levels,
+                    scale=self.cfg.orb.scale_factor,
+                    cell=self.cfg.orb.cell_size,
+                )
                 self._stereo_initialize(frame, t)
             else:
-                self._track_with_frame(frame, t)
+                self._track_fisheye_fused(
+                    jnp.asarray(img_l, jnp.float32),
+                    jnp.asarray(img_r, jnp.float32), t,
+                )
             self._record_frame(t)
             return self.state
 
@@ -256,17 +268,10 @@ class SlamSystem:
         asynchronous LocalMapping queue.
         """
         cam = self.cfg.camera
+        R_last, t_last, has_vel = self._pred_inputs(override_pred)
         self._service_gba()
-        if override_pred is not None:
-            # IMU-predicted pose: feed it as "last pose" with no velocity so
-            # the fused step starts the search there (PredictStateIMU path)
-            R_last, t_last = override_pred
-            has_vel = jnp.bool_(False)
-        else:
-            R_last, t_last = self.R_cw, self.t_cw
-            has_vel = jnp.bool_(self.has_velocity)
         with self.timer.span("track/dispatch"):
-            ms, frame, tr, R_new, t_new, vel_R, vel_t, _ = tracking.full_frame_step(
+            out = tracking.full_frame_step(
                 self.ms, img_l, img_r, R_last, t_last,
                 self.vel_R, self.vel_t, has_vel,
                 self.cam_params,
@@ -277,6 +282,99 @@ class SlamSystem:
                 cell=self.cfg.orb.cell_size,
                 min_inliers=self.cfg.tracking.min_inliers_local_map,
             )
+        self._after_dispatch(out, t)
+
+    def _pred_inputs(self, override_pred):
+        if override_pred is not None:
+            # IMU-predicted pose: feed it as "last pose" with no velocity so
+            # the fused step starts the search there (PredictStateIMU path)
+            R_last, t_last = override_pred
+            return R_last, t_last, jnp.bool_(False)
+        return self.R_cw, self.t_cw, jnp.bool_(self.has_velocity)
+
+    def _zero_prior(self):
+        return (jnp.eye(3), jnp.zeros(3), jnp.float32(0.0), jnp.float32(0.0))
+
+    def _imu_prior(self, R_pred, t_pred):
+        tc = self.cfg.tracking
+        return (
+            R_pred, t_pred,
+            jnp.float32(1.0 / tc.imu_prior_sigma_rot ** 2),
+            jnp.float32(1.0 / tc.imu_prior_sigma_trans ** 2),
+        )
+
+    def _track_mono_fused(self, img, t: float, override_pred=None) -> None:
+        """Deferred-decision monocular tracking: same pipeline as the
+        stereo `_track` but through ``full_mono_step`` (one device program;
+        the IMU-predicted prior rides inside the pose solve)."""
+        cam = self.cfg.camera
+        R_last, t_last, has_vel = self._pred_inputs(override_pred)
+        prior = (
+            self._imu_prior(R_last, t_last)
+            if (override_pred is not None and self.cfg.is_inertial)
+            else self._zero_prior()
+        )
+        self._service_gba()
+        with self.timer.span("track/dispatch"):
+            out = tracking.full_mono_step(
+                self.ms, img, R_last, t_last,
+                self.vel_R, self.vel_t, has_vel, self.cam_params, prior,
+                bf=cam.bf, w=cam.width, h=cam.height,
+                scale=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+                n_features=self.cfg.orb.n_features,
+                cell=self.cfg.orb.cell_size,
+                min_inliers=self.cfg.tracking.min_inliers_local_map,
+                cam_model=self.cam_model, dist=self._dist,
+            )
+        self._after_dispatch(out, t)
+
+    def _track_rgbd_fused(self, img, depth_map, t: float) -> None:
+        cam = self.cfg.camera
+        R_last, t_last, has_vel = self._pred_inputs(None)
+        self._service_gba()
+        with self.timer.span("track/dispatch"):
+            out = tracking.full_rgbd_step(
+                self.ms, img, depth_map, R_last, t_last,
+                self.vel_R, self.vel_t, has_vel, self.cam_params,
+                bf=cam.bf, w=cam.width, h=cam.height,
+                scale=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+                n_features=self.cfg.orb.n_features,
+                cell=self.cfg.orb.cell_size,
+                min_inliers=self.cfg.tracking.min_inliers_local_map,
+                dist=self._dist,
+            )
+        self._after_dispatch(out, t)
+
+    def _track_fisheye_fused(self, img_l, img_r, t: float,
+                             override_pred=None) -> None:
+        cam = self.cfg.camera
+        R_last, t_last, has_vel = self._pred_inputs(override_pred)
+        prior = (
+            self._imu_prior(R_last, t_last)
+            if (override_pred is not None and self.cfg.is_inertial)
+            else self._zero_prior()
+        )
+        self._service_gba()
+        with self.timer.span("track/dispatch"):
+            out = tracking.full_fisheye_step(
+                self.ms, img_l, img_r, R_last, t_last,
+                self.vel_R, self.vel_t, has_vel,
+                self.cam_params, self.cam_params_r, self.R_rl, self.t_rl,
+                prior,
+                w=cam.width, h=cam.height,
+                scale=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+                n_features=self.cfg.orb.n_features,
+                cell=self.cfg.orb.cell_size,
+                min_inliers=self.cfg.tracking.min_inliers_local_map,
+            )
+        self._after_dispatch(out, t)
+
+    def _after_dispatch(self, out, t: float) -> None:
+        """Post-dispatch bookkeeping + the batched decision pipeline."""
+        ms, frame, tr, R_new, t_new, vel_R, vel_t, _ = out
         self.ms = ms
         self.R_cw, self.t_cw = R_new, t_new
         self.vel_R, self.vel_t = vel_R, vel_t
@@ -665,17 +763,18 @@ class SlamSystem:
         cam = self.cfg.camera
         self.n_frames += 1
         self._check_timestamp_jump(t)
-        frame = frontend.process_mono(
-            jnp.asarray(img, jnp.float32),
-            n_features=self.cfg.orb.n_features,
-            n_levels=self.cfg.orb.n_levels,
-            scale=self.cfg.orb.scale_factor,
-            cell=self.cfg.orb.cell_size,
-        )
         if self.state == TrackingState.NOT_INITIALIZED:
+            frame = frontend.process_mono(
+                jnp.asarray(img, jnp.float32),
+                n_features=self.cfg.orb.n_features,
+                n_levels=self.cfg.orb.n_levels,
+                scale=self.cfg.orb.scale_factor,
+                cell=self.cfg.orb.cell_size,
+                dist=self._dist, cam_params=self.cam_params,
+            )
             self._mono_initialize(frame, t)
         else:
-            self._track_with_frame(frame, t)
+            self._track_mono_fused(jnp.asarray(img, jnp.float32), t)
         self._record_frame(t)
         return self.state
 
@@ -758,19 +857,23 @@ class SlamSystem:
         cam = self.cfg.camera
         self.n_frames += 1
         self._check_timestamp_jump(t)
-        frame = frontend.process_rgbd(
-            jnp.asarray(img, jnp.float32),
-            jnp.asarray(depth_map, jnp.float32),
-            cam.bf,
-            n_features=self.cfg.orb.n_features,
-            n_levels=self.cfg.orb.n_levels,
-            scale=self.cfg.orb.scale_factor,
-            cell=self.cfg.orb.cell_size,
-        )
         if self.state == TrackingState.NOT_INITIALIZED:
+            frame = frontend.process_rgbd(
+                jnp.asarray(img, jnp.float32),
+                jnp.asarray(depth_map, jnp.float32),
+                cam.bf,
+                n_features=self.cfg.orb.n_features,
+                n_levels=self.cfg.orb.n_levels,
+                scale=self.cfg.orb.scale_factor,
+                cell=self.cfg.orb.cell_size,
+                dist=self._dist, cam_params=self.cam_params,
+            )
             self._stereo_initialize(frame, t)
         else:
-            self._track_with_frame(frame, t)
+            self._track_rgbd_fused(
+                jnp.asarray(img, jnp.float32),
+                jnp.asarray(depth_map, jnp.float32), t,
+            )
         self._record_frame(t)
         return self.state
 
@@ -988,21 +1091,16 @@ class SlamSystem:
         # IMU prediction for the tracking front-end
         pred = self._imu_predicted_pose()
         if self.stereo_fisheye:
-            frame = frontend.process_stereo_fisheye(
-                jnp.asarray(img_l, jnp.float32),
-                jnp.asarray(img_r, jnp.float32),
-                self.cam_params, self.cam_params_r, self.R_rl, self.t_rl,
-                n_features=self.cfg.orb.n_features,
-                n_levels=self.cfg.orb.n_levels,
-                scale=self.cfg.orb.scale_factor,
-                cell=self.cfg.orb.cell_size,
-            )
+            il = jnp.asarray(img_l, jnp.float32)
+            ir = jnp.asarray(img_r, jnp.float32)
             if pred is not None:
                 R_pred, t_pred, v2 = pred
-                self._track_with_frame(frame, t, override_pred=(R_pred, t_pred))
+                self._track_fisheye_fused(
+                    il, ir, t, override_pred=(R_pred, t_pred)
+                )
                 self.frame_vel = v2
             else:
-                self._track_with_frame(frame, t)
+                self._track_fisheye_fused(il, ir, t)
         elif pred is not None:
             R_pred, t_pred, v2 = pred
             self._track(jnp.asarray(img_l, jnp.float32),
@@ -1077,20 +1175,14 @@ class SlamSystem:
         self._integrate_new_samples(t)
         cam = self.cfg.camera
         self.n_frames += 1
-        frame = frontend.process_mono(
-            jnp.asarray(img, jnp.float32),
-            n_features=self.cfg.orb.n_features,
-            n_levels=self.cfg.orb.n_levels,
-            scale=self.cfg.orb.scale_factor,
-            cell=self.cfg.orb.cell_size,
-        )
         pred = self._imu_predicted_pose()
+        img_j = jnp.asarray(img, jnp.float32)
         if pred is not None:
             R_pred, t_pred, v2 = pred
-            self._track_with_frame(frame, t, override_pred=(R_pred, t_pred))
+            self._track_mono_fused(img_j, t, override_pred=(R_pred, t_pred))
             self.frame_vel = v2
         else:
-            self._track_with_frame(frame, t)
+            self._track_mono_fused(img_j, t)
         self._last_frame_time = t
         self._record_frame(t)
         return self.state

@@ -267,6 +267,165 @@ def full_frame_step(
     return ms, frame, tr, R_out, t_out, vel_R, vel_t, ok
 
 
+def _finish_step(ms, frame, tr, R_last, t_last, vel_R, vel_t, min_inliers):
+    """Shared epilogue of the fused per-frame steps: landmark stats +
+    branchless motion-model / pose fallback."""
+    ok = tr.n_inliers >= min_inliers
+    ms = update_landmark_stats(ms, tr)
+    Ri, ti = lie.se3_inverse(R_last, t_last)
+    vR_new, vt_new = lie.se3_compose(tr.R_cw, tr.t_cw, Ri, ti)
+    vel_R = jnp.where(ok, vR_new, vel_R)
+    vel_t = jnp.where(ok, vt_new, vel_t)
+    R_out = jnp.where(ok, tr.R_cw, R_last)
+    t_out = jnp.where(ok, tr.t_cw, t_last)
+    return ms, frame, tr, R_out, t_out, vel_R, vel_t, ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bf", "w", "h", "scale", "n_levels", "n_features", "cell",
+        "min_inliers", "cam_model", "dist",
+    ),
+    donate_argnums=(0,),
+)
+def full_mono_step(
+    ms: msx.MapState,
+    img: jnp.ndarray,
+    R_last: jnp.ndarray,
+    t_last: jnp.ndarray,
+    vel_R: jnp.ndarray,
+    vel_t: jnp.ndarray,
+    has_vel: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    prior,
+    bf: float = 0.0,
+    w: int = 752,
+    h: int = 480,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    n_features: int = 1200,
+    cell: int = 32,
+    min_inliers: int = 10,
+    cam_model: str = "pinhole",
+    dist=None,
+):
+    """ONE device program for the monocular (and mono-inertial) per-frame
+    hot path: mono ORB front-end + three-stage track + stats + motion
+    model. ``prior`` is an always-present (R_p, t_p, info_R, info_t)
+    tuple — zero infos disable the IMU-predicted pose pull (the fused
+    analog of PoseInertialOptimizationLastKeyFrame, ``Optimizer.cc:6697``).
+    """
+    from orb_slam3_detailed_comments_kor_tpu.slam import frontend as fe
+
+    frame = fe.process_mono.__wrapped__(
+        img, n_features=n_features, n_levels=n_levels, scale=scale,
+        cell=cell, dist=dist, cam_params=cam_params,
+    )
+    R_pred0, t_pred0 = lie.se3_compose(vel_R, vel_t, R_last, t_last)
+    R_pred = jnp.where(has_vel, R_pred0, R_last)
+    t_pred = jnp.where(has_vel, t_pred0, t_last)
+    tr = track_frame.__wrapped__(
+        ms, frame, R_pred, t_pred, cam_params, bf, w, h, scale, n_levels,
+        prior=prior, cam_model=cam_model,
+    )
+    return _finish_step(ms, frame, tr, R_last, t_last, vel_R, vel_t,
+                        min_inliers)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bf", "w", "h", "scale", "n_levels", "n_features", "cell",
+        "min_inliers", "dist",
+    ),
+    donate_argnums=(0,),
+)
+def full_rgbd_step(
+    ms: msx.MapState,
+    img: jnp.ndarray,
+    depth_map: jnp.ndarray,
+    R_last: jnp.ndarray,
+    t_last: jnp.ndarray,
+    vel_R: jnp.ndarray,
+    vel_t: jnp.ndarray,
+    has_vel: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    bf: float,
+    w: int,
+    h: int,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    n_features: int = 1200,
+    cell: int = 32,
+    min_inliers: int = 10,
+    dist=None,
+):
+    """Fused RGB-D per-frame step (``Frame.cc:201`` ctor + track)."""
+    from orb_slam3_detailed_comments_kor_tpu.slam import frontend as fe
+
+    frame = fe.process_rgbd.__wrapped__(
+        img, depth_map, bf, n_features=n_features, n_levels=n_levels,
+        scale=scale, cell=cell, dist=dist, cam_params=cam_params,
+    )
+    R_pred0, t_pred0 = lie.se3_compose(vel_R, vel_t, R_last, t_last)
+    R_pred = jnp.where(has_vel, R_pred0, R_last)
+    t_pred = jnp.where(has_vel, t_pred0, t_last)
+    tr = track_frame.__wrapped__(
+        ms, frame, R_pred, t_pred, cam_params, bf, w, h, scale, n_levels
+    )
+    return _finish_step(ms, frame, tr, R_last, t_last, vel_R, vel_t,
+                        min_inliers)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "w", "h", "scale", "n_levels", "n_features", "cell", "min_inliers",
+    ),
+    donate_argnums=(0,),
+)
+def full_fisheye_step(
+    ms: msx.MapState,
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    R_last: jnp.ndarray,
+    t_last: jnp.ndarray,
+    vel_R: jnp.ndarray,
+    vel_t: jnp.ndarray,
+    has_vel: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    cam_params_r: jnp.ndarray,
+    R_rl: jnp.ndarray,
+    t_rl: jnp.ndarray,
+    prior,
+    w: int,
+    h: int,
+    scale: float = 1.2,
+    n_levels: int = 8,
+    n_features: int = 1200,
+    cell: int = 32,
+    min_inliers: int = 10,
+):
+    """Fused dual-fisheye (KannalaBrandt8 ×2) per-frame step
+    (``Frame.cc:1021`` ctor + track)."""
+    from orb_slam3_detailed_comments_kor_tpu.slam import frontend as fe
+
+    frame = fe.process_stereo_fisheye.__wrapped__(
+        img_l, img_r, cam_params, cam_params_r, R_rl, t_rl,
+        n_features=n_features, n_levels=n_levels, scale=scale, cell=cell,
+    )
+    R_pred0, t_pred0 = lie.se3_compose(vel_R, vel_t, R_last, t_last)
+    R_pred = jnp.where(has_vel, R_pred0, R_last)
+    t_pred = jnp.where(has_vel, t_pred0, t_last)
+    tr = track_frame.__wrapped__(
+        ms, frame, R_pred, t_pred, cam_params, 0.0, w, h, scale, n_levels,
+        prior=prior, cam_model="kannala_brandt8",
+    )
+    return _finish_step(ms, frame, tr, R_last, t_last, vel_R, vel_t,
+                        min_inliers)
+
+
 def update_landmark_stats(
     ms: msx.MapState, tr: TrackResult, visible_mask=None
 ) -> msx.MapState:

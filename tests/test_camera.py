@@ -74,3 +74,34 @@ class TestKB8:
         f = jax.jit(lambda p: camera.kb8_unproject(KB8, camera.kb8_project(KB8, p)))
         r = f(xyz)
         assert r.shape == (8, 3)
+
+
+def test_frontend_keypoint_undistortion():
+    """process_mono(dist=...) must map raw keypoints through the inverse
+    radial-tangential model (Frame::UndistortKeyPoints, Frame.cc:733)."""
+    import numpy as np
+    from orb_slam3_detailed_comments_kor_tpu.io import synthetic
+    from orb_slam3_detailed_comments_kor_tpu.models import camera as cm
+    from orb_slam3_detailed_comments_kor_tpu.slam import frontend
+
+    H, W, FX = 240, 376, 230.0
+    params = jnp.array([FX, FX, W / 2.0, H / 2.0])
+    scene = synthetic.default_scene()
+    img, _ = synthetic.render(params, jnp.eye(3), jnp.zeros(3), scene,
+                              h=H, w=W)
+    dist = (-0.28, 0.07, 1e-4, -2e-5)
+    f_raw = frontend.process_mono(img, n_features=300, cell=24)
+    f_und = frontend.process_mono(img, n_features=300, cell=24,
+                                  dist=dist, cam_params=params)
+    # manual undistortion of the raw coordinates
+    xn = jnp.stack([(f_raw.xy[:, 0] - W / 2.0) / FX,
+                    (f_raw.xy[:, 1] - H / 2.0) / FX], axis=-1)
+    xu = cm.undistort_radtan(jnp.asarray(dist), xn)
+    expect = jnp.stack([FX * xu[:, 0] + W / 2.0,
+                        FX * xu[:, 1] + H / 2.0], axis=-1)
+    v = np.asarray(f_raw.valid)
+    np.testing.assert_allclose(
+        np.asarray(f_und.xy)[v], np.asarray(expect)[v], atol=1e-3
+    )
+    # the shift is real (distortion actually moved the points)
+    assert np.abs(np.asarray(f_und.xy - f_raw.xy)[v]).max() > 1.0
