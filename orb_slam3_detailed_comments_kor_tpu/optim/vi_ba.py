@@ -302,44 +302,33 @@ def vi_bundle_adjust(
 
         kf_of = jnp.stack([edges.i, edges.j], axis=-1)  # [E,2]
 
-        def scatter_edge(S, b, e):
-            kf_sel = kf_of[e][local_kf_is_j]     # [24] global kf per dim
-            S = S.at[
-                kf_sel[:, None], local_dim[:, None],
-                kf_sel[None, :], local_dim[None, :],
-            ].add(JtW[e])
-            b = b.at[kf_sel, local_dim].add(Jt_r[e])
-            return S, b
+        # ONE batched scatter over all edges (the earlier per-edge lax.scan
+        # serialized ~200 tiny device ops per LM iteration — at keyframe
+        # rate that was the dominant mapping-step latency)
+        ksel = kf_of[:, local_kf_is_j]                       # [E,24]
+        S = S.at[
+            ksel[:, :, None], local_dim[None, :, None],
+            ksel[:, None, :], local_dim[None, None, :],
+        ].add(JtW)
+        b = b.at[ksel, local_dim[None, :]].add(Jt_r)
 
-        def body(carry, e):
-            S, b = carry
-            S, b = scatter_edge(S, b, e)
-            return (S, b), None
-
-        (S, b), _ = jax.lax.scan(
-            body, (S, b), jnp.arange(edges.i.shape[0])
-        )
-
-        # ---- bias random-walk factors -----------------------------------
+        # ---- bias random-walk factors (batched over edges) ---------------
         w_g = gyro_walk_info / jnp.maximum(edges.dt, 1e-3) * w_edge
         w_a = acc_walk_info / jnp.maximum(edges.dt, 1e-3) * w_edge
         dbg = stc.bg[edges.j] - stc.bg[edges.i]
         dba = stc.ba[edges.j] - stc.ba[edges.i]
-
-        def rw_scatter(carry, e):
-            S, b = carry
-            for (dim0, wgt, db) in ((9, w_g, dbg), (12, w_a, dba)):
-                d = jnp.arange(3) + dim0
-                i_, j_ = edges.i[e], edges.j[e]
-                S = S.at[i_, d, i_, d].add(wgt[e])
-                S = S.at[j_, d, j_, d].add(wgt[e])
-                S = S.at[i_, d, j_, d].add(-wgt[e])
-                S = S.at[j_, d, i_, d].add(-wgt[e])
-                b = b.at[i_, d].add(wgt[e] * db[e])
-                b = b.at[j_, d].add(-wgt[e] * db[e])
-            return (S, b), None
-
-        (S, b), _ = jax.lax.scan(rw_scatter, (S, b), jnp.arange(edges.i.shape[0]))
+        d3 = jnp.arange(3)
+        ii = edges.i[:, None]
+        jj = edges.j[:, None]
+        for (dim0, wgt, db) in ((9, w_g, dbg), (12, w_a, dba)):
+            dd = (d3 + dim0)[None, :]
+            w3 = wgt[:, None] * jnp.ones((1, 3))
+            S = S.at[ii, dd, ii, dd].add(w3)
+            S = S.at[jj, dd, jj, dd].add(w3)
+            S = S.at[ii, dd, jj, dd].add(-w3)
+            S = S.at[jj, dd, ii, dd].add(-w3)
+            b = b.at[ii, dd].add(wgt[:, None] * db)
+            b = b.at[jj, dd].add(-wgt[:, None] * db)
 
         # ---- damping, fixing, solve -------------------------------------
         Sf = S.reshape(K * P, K * P)

@@ -320,7 +320,13 @@ def _detect_core(db, ms: msx.MapState, kf_idx, n_kf, min_gap):
         jnp.where(jnp.isfinite(ref_floor), ref_floor, 0.02), 0.02
     )
 
-    cand_ok = in_map & ~near & (scores >= floor)
+    # candidates must be OUTSIDE the query's covisibility group: a keyframe
+    # that still shares landmarks with the query is the same place seen
+    # continuously, not a loop (the reference excludes
+    # GetConnectedKeyFrames, ``KeyFrameDatabase.cc:228`` spConnectedKF) —
+    # a pure temporal gap misfires under dense keyframe cadence
+    connected = cov[kf_idx] >= 5
+    cand_ok = in_map & ~near & ~connected & (scores >= floor)
     s_masked = jnp.where(cand_ok, scores, 0.0)
     acc = jnp.einsum("ck,k->c", grp.astype(jnp.float32), s_masked)
     acc = jnp.where(cand_ok, acc, -1.0)

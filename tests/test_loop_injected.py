@@ -106,7 +106,7 @@ class TestInjectedLoop:
             )
         cand = -1
         for _ in range(lc.consistency_needed):
-            cand = lc.detect(ms, kf_idx, n_kf)
+            cand = lc.detect(ms_drift, kf_idx, n_kf)
         assert cand >= 0, "BoW failed to suggest a loop candidate"
         assert cand < cut  # early keyframe
 
@@ -202,7 +202,7 @@ class TestInjectedSim3Loop:
             )
         cand = -1
         for _ in range(lc.consistency_needed):
-            cand = lc.detect(ms, kf_idx, n_kf)
+            cand = lc.detect(ms_drift, kf_idx, n_kf)
         assert cand >= 0 and cand < cut
 
         # ---- verify with free scale: must recover s ≈ 1/s_d --------------
