@@ -376,3 +376,288 @@ def vi_bundle_adjust(
     )
     st_f = st_f._replace(R_bw=lie.project_to_so3(st_f.R_bw))
     return st_f, X_f, jnp.concatenate([cost0[None], costs])
+
+
+# ---------------------------------------------------------------------------
+# Whole-map visual-inertial BA: matrix-free PCG on the 15-state reduced
+# system (FullInertialBA analog, ``src/Optimizer.cc:397``).
+#
+# The dense vi_bundle_adjust above materializes the pose-landmark coupling
+# Wpl as [K,6,L,3] — fine for a 10-KF sliding window, ~1.2 GB at map scale.
+# Here the landmark elimination is matrix-free exactly as in
+# ``ba.bundle_adjust_cg`` (two gathers + two scatter-adds per matvec over
+# the flat observation table), and the ~K inertial chain edges + bias
+# random walks enter the matvec as one batched gather→[E,24,24]→scatter.
+# Memory is O(obs + E·576 + K·225): GBA-sized inertial maps fit on chip.
+#
+# Used (a) after IMU initialization with bias priors — the reference's
+# bFIBA call (``src/LocalMapping.cc:1712-1720``) — and (b) as the global BA
+# for inertial maps after loop closure (``src/LoopClosing.cc:2287-2289``),
+# where the previous rounds ran visual-only reprojection GBA and silently
+# dropped velocities/biases/gravity consistency.
+# ---------------------------------------------------------------------------
+
+
+# local-24 → (which KF of the edge, state dim) index maps used by both the
+# dense and matrix-free assemblers: [ξi(6) vi(3) bgi(3) bai(3) | ξj(6) vj(3)]
+_L24_IS_J = jnp.concatenate(
+    [jnp.zeros(15, jnp.int32), jnp.ones(9, jnp.int32)]
+)
+_L24_DIM = jnp.concatenate([jnp.arange(15), jnp.arange(6), jnp.arange(6, 9)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "cg_iters", "cam_model"),
+)
+def vi_bundle_adjust_cg(
+    st: VIState,
+    X: jnp.ndarray,
+    obs: Observations,
+    edges: InertialEdges,
+    fixed_kf: jnp.ndarray,
+    fixed_point: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    R_cb: jnp.ndarray,
+    t_cb: jnp.ndarray,
+    bf: float,
+    gravity: jnp.ndarray,
+    gyro_walk_info: float,
+    acc_walk_info: float,
+    prior_bg_info: float = 0.0,
+    prior_ba_info: float = 0.0,
+    iters: int = 8,
+    cg_iters: int = 24,
+    cam_model: str = "pinhole",
+):
+    """Whole-map VI LM: same state/factor model as :func:`vi_bundle_adjust`
+    but with matrix-free Schur landmark elimination + block-Jacobi PCG on
+    the [K,15] reduced system, so K and L are map-capacity sized.
+
+    prior_bg_info / prior_ba_info: isotropic information pulling every
+    keyframe's bias toward its INITIAL value this call — the bFIBA priors
+    (priorG/priorA, ``Optimizer.cc:397`` EdgePriorGyro/EdgePriorAcc).
+
+    Returns (VIState, X, costs [iters+1]).
+    """
+    K = st.R_bw.shape[0]
+    L = X.shape[0]
+    P = 15
+    delta2 = jnp.where(obs.u_right >= 0, factors.CHI2_STEREO, factors.CHI2_MONO)
+    eye3 = jnp.eye(3)
+    free_kf = (~fixed_kf).astype(jnp.float32)
+    free_l = (~fixed_point).astype(jnp.float32)
+    bg_prior0 = st.bg
+    ba_prior0 = st.ba
+
+    def camera_pose(stc):
+        R_cw = R_cb @ stc.R_bw
+        t_cw = jnp.einsum("ij,kj->ki", R_cb, stc.t_bw) + t_cb
+        return R_cw, t_cw
+
+    def total_cost(stc, Xc):
+        R_cw, t_cw = camera_pose(stc)
+        r, _, dok = factors.reproj_residuals(R_cw, t_cw, Xc, obs, cam_params,
+                                             bf, cam_model)
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        c_vis = jnp.sum(ba._robust_cost(chi2, delta2) * (obs.valid & dok))
+        r_in, _ = eval_inertial(stc, edges, gravity)
+        c_in = jnp.sum(
+            jnp.einsum("ei,eij,ej->e", r_in, edges.info9, r_in) * edges.valid
+        )
+        dbg = stc.bg[edges.j] - stc.bg[edges.i]
+        dba = stc.ba[edges.j] - stc.ba[edges.i]
+        w_g = gyro_walk_info / jnp.maximum(edges.dt, 1e-3)
+        w_a = acc_walk_info / jnp.maximum(edges.dt, 1e-3)
+        c_rw = jnp.sum(
+            (w_g * jnp.sum(dbg * dbg, -1) + w_a * jnp.sum(dba * dba, -1))
+            * edges.valid
+        )
+        c_pr = prior_bg_info * jnp.sum(
+            (stc.bg - bg_prior0) ** 2 * free_kf[:, None]
+        ) + prior_ba_info * jnp.sum(
+            (stc.ba - ba_prior0) ** 2 * free_kf[:, None]
+        )
+        return c_vis + c_in + c_rw + c_pr
+
+    def lm_iter(carry, _):
+        stc, Xc, lam, best_cost = carry
+        R_cw, t_cw = camera_pose(stc)
+
+        # ---- visual blocks (body-pose tangent, dims 0:6) -----------------
+        r, row_mask, depth_ok = factors.reproj_residuals(
+            R_cw, t_cw, Xc, obs, cam_params, bf, cam_model
+        )
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        w_h = factors.huber_weight(chi2, delta2)
+        w = obs.inv_sigma2 * w_h * (obs.valid & depth_ok)
+        Rk = stc.R_bw[obs.kf]
+        tk = stc.t_bw[obs.kf]
+        Xo = Xc[obs.lm]
+        pb = jnp.einsum("oij,oj->oi", Rk, Xo) + tk
+        pc = jnp.einsum("ij,oj->oi", R_cb, pb) + t_cb
+        _, Jproj = factors.project_with_jac(cam_params, pc, bf, cam_model)
+        eyeO = jnp.broadcast_to(jnp.eye(3), (pb.shape[0], 3, 3))
+        dpb_dxi = jnp.concatenate([eyeO, -lie.hat(pb)], axis=-1)
+        dpc_dxi = jnp.einsum("ij,ojk->oik", R_cb, dpb_dxi)
+        Jp = -jnp.einsum("oij,ojk->oik", Jproj, dpc_dxi) * row_mask[:, :, None]
+        Jl = -jnp.einsum("oij,jk,okl->oil", Jproj, R_cb, Rk) * row_mask[:, :, None]
+
+        Hpp6 = jnp.zeros((K, 6, 6)).at[obs.kf].add(
+            w[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp)
+        )
+        Hll = jnp.zeros((L, 3, 3)).at[obs.lm].add(
+            w[:, None, None] * jnp.einsum("oij,oik->ojk", Jl, Jl)
+        )
+        bp6 = jnp.zeros((K, 6)).at[obs.kf].add(
+            -w[:, None] * jnp.einsum("oij,oi->oj", Jp, r)
+        ) * free_kf[:, None]
+        bl = jnp.zeros((L, 3)).at[obs.lm].add(
+            -w[:, None] * jnp.einsum("oij,oi->oj", Jl, r)
+        ) * free_l[:, None]
+        A = (w * free_kf[obs.kf] * free_l[obs.lm])[:, None, None] * jnp.einsum(
+            "oij,oik->ojk", Jp, Jl
+        )  # [O,6,3]
+
+        Hll_d = Hll + lam * eye3[None] * (
+            jnp.trace(Hll, axis1=-2, axis2=-1)[:, None, None] / 3.0 + 1e-3
+        )
+        Hll_d = jnp.where(fixed_point[:, None, None], eye3[None], Hll_d)
+        Hll_inv = jnp.linalg.inv(Hll_d)
+
+        # ---- inertial edge blocks (autodiff, batched) --------------------
+        r_in, J_in = eval_inertial(stc, edges, gravity)  # [E,9],[E,9,24]
+        # zero rows/cols of fixed keyframes at the source
+        kf_of = jnp.stack([edges.i, edges.j], axis=-1)    # [E,2]
+        ksel = kf_of[:, _L24_IS_J]                         # [E,24]
+        free24 = free_kf[ksel]                             # [E,24]
+        w_edge = edges.valid.astype(jnp.float32)
+        Jw = J_in * w_edge[:, None, None]
+        JtW = jnp.einsum("eir,eis->ers", Jw,
+                         jnp.einsum("eij,ejk->eik", edges.info9, J_in))
+        JtW = JtW * free24[:, :, None] * free24[:, None, :]
+        Jt_r = -jnp.einsum("eir,eij,ej->er", Jw, edges.info9, r_in) * free24
+
+        # ---- bias random walk (diagonal per-dim couplings) ----------------
+        w_g = gyro_walk_info / jnp.maximum(edges.dt, 1e-3) * w_edge
+        w_a = acc_walk_info / jnp.maximum(edges.dt, 1e-3) * w_edge
+        dbg = stc.bg[edges.j] - stc.bg[edges.i]
+        dba = stc.ba[edges.j] - stc.ba[edges.i]
+        rw_fi = free_kf[edges.i]
+        rw_fj = free_kf[edges.j]
+
+        # ---- RHS assembly --------------------------------------------------
+        b = jnp.zeros((K, P))
+        b = b.at[:, 0:6].add(bp6)
+        # visual Schur RHS part: − W Hll⁻¹ bl
+        y0 = jnp.einsum("lmn,ln->lm", Hll_inv, bl)
+        Wy0 = jnp.zeros((K, 6)).at[obs.kf].add(
+            jnp.einsum("oij,oj->oi", A, y0[obs.lm])
+        )
+        b = b.at[:, 0:6].add(-Wy0)
+        b = b.at[ksel, _L24_DIM[None, :]].add(Jt_r)
+        for (dim0, wgt, db) in ((9, w_g, dbg), (12, w_a, dba)):
+            sl = slice(dim0, dim0 + 3)
+            b = b.at[edges.i, sl].add(
+                (wgt * rw_fi)[:, None] * db
+            )
+            b = b.at[edges.j, sl].add(
+                -(wgt * rw_fj)[:, None] * db
+            )
+        # bias prior gradient (residual = b_cur − b0; zero at the first
+        # iteration, nonzero once a step was accepted)
+        b = b.at[:, 9:12].add(-prior_bg_info * (stc.bg - bg_prior0))
+        b = b.at[:, 12:15].add(-prior_ba_info * (stc.ba - ba_prior0))
+        b = jnp.where(fixed_kf[:, None], 0.0, b)
+
+        # ---- diagonal blocks (preconditioner + damping target) -----------
+        D = jnp.zeros((K, P, P))
+        D = D.at[:, 0:6, 0:6].add(Hpp6)
+        # inertial edge diagonal blocks: i-i [0:15]² and j-j [15:24]²
+        D = D.at[edges.i, 0:15, 0:15].add(JtW[:, 0:15, 0:15])
+        jdim = _L24_DIM[15:24]
+        D = D.at[
+            edges.j[:, None, None], jdim[None, :, None], jdim[None, None, :]
+        ].add(JtW[:, 15:24, 15:24])
+        d3 = jnp.arange(3)
+        for (dim0, wgt) in ((9, w_g), (12, w_a)):
+            dd = (d3 + dim0)[None, :]
+            D = D.at[edges.i[:, None], dd, dd].add((wgt * rw_fi)[:, None])
+            D = D.at[edges.j[:, None], dd, dd].add((wgt * rw_fj)[:, None])
+        pr = jnp.zeros((P,)).at[9:12].set(prior_bg_info).at[12:15].set(
+            prior_ba_info
+        )
+        D = D + jnp.diag(pr)[None]
+        # damping + fixing
+        diagD = jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(D))
+        D_d = D + lam * diagD + 1e-6 * jnp.eye(P)[None]
+        D_d = jnp.where(fixed_kf[:, None, None], jnp.eye(P)[None], D_d)
+
+        # off-diagonal inertial coupling blocks for the matvec: i-j and j-i
+        JtW_ij = JtW[:, 0:15, 15:24]  # [E,15,9]
+
+        def matvec(v):
+            """S·v for v [K,P]: visual Schur part on dims 0:6 + inertial."""
+            v6 = v[:, 0:6]
+            u = jnp.zeros((L, 3), v.dtype).at[obs.lm].add(
+                jnp.einsum("oij,oi->oj", A, v6[obs.kf])
+            )
+            y = jnp.einsum("lmn,ln->lm", Hll_inv, u)
+            Wy = jnp.zeros((K, 6), v.dtype).at[obs.kf].add(
+                jnp.einsum("oij,oj->oi", A, y[obs.lm])
+            )
+            Sv = jnp.einsum("kij,kj->ki", D_d, v)
+            Sv = Sv.at[:, 0:6].add(-Wy)
+            # inertial off-diagonal: rows i get JtW_ij · v_j9; rows j get
+            # JtW_ijᵀ · v_i15 (v_j9 = v[j, jdim], scatter back likewise)
+            v_j9 = v[edges.j][:, jdim]
+            v_i15 = v[edges.i][:, 0:15]
+            Sv = Sv.at[edges.i, 0:15].add(
+                jnp.einsum("eij,ej->ei", JtW_ij, v_j9)
+            )
+            Sv = Sv.at[edges.j[:, None], jdim[None, :]].add(
+                jnp.einsum("eij,ei->ej", JtW_ij, v_i15)
+            )
+            # bias RW off-diagonal: −w between i and j per dim
+            for (dim0, wgt) in ((9, w_g), (12, w_a)):
+                sl = slice(dim0, dim0 + 3)
+                wf = (wgt * rw_fi * rw_fj)[:, None]
+                Sv = Sv.at[edges.i, sl].add(-wf * v[edges.j, sl])
+                Sv = Sv.at[edges.j, sl].add(-wf * v[edges.i, sl])
+            return jnp.where(fixed_kf[:, None], v, Sv)
+
+        Minv = jnp.linalg.inv(D_d)
+        dx = ba._pcg(matvec, b, Minv, cg_iters)
+        dx = dx * free_kf[:, None]
+        # back-substitute landmarks from the pose-block update
+        u = jnp.zeros((L, 3)).at[obs.lm].add(
+            jnp.einsum("oij,oi->oj", A, dx[obs.kf, 0:6])
+        )
+        dl = jnp.einsum("lmn,ln->lm", Hll_inv, bl - u) * free_l[:, None]
+
+        dRb, dtb = lie.se3_exp(dx[:, 0:6])
+        st_new = VIState(
+            R_bw=dRb @ stc.R_bw,
+            t_bw=jnp.einsum("kij,kj->ki", dRb, stc.t_bw) + dtb,
+            v=stc.v + dx[:, 6:9],
+            bg=stc.bg + dx[:, 9:12],
+            ba=stc.ba + dx[:, 12:15],
+        )
+        X_new = Xc + dl
+        cost_new = total_cost(st_new, X_new)
+        accept = (
+            (cost_new < best_cost)
+            & jnp.isfinite(dx).all() & jnp.isfinite(dl).all()
+        )
+        stc = jax.tree.map(lambda n, o: jnp.where(accept, n, o), st_new, stc)
+        Xc = jnp.where(accept, X_new, Xc)
+        lam = jnp.where(accept, lam * 0.33, lam * 4.0)
+        best_cost = jnp.where(accept, cost_new, best_cost)
+        return (stc, Xc, lam, best_cost), cost_new
+
+    cost0 = total_cost(st, X)
+    (st_f, X_f, _, _), costs = jax.lax.scan(
+        lm_iter, (st, X, jnp.float32(1e-4), cost0), None, length=iters
+    )
+    st_f = st_f._replace(R_bw=lie.project_to_so3(st_f.R_bw))
+    return st_f, X_f, jnp.concatenate([cost0[None], costs])

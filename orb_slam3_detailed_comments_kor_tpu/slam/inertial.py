@@ -240,6 +240,99 @@ def initialize_imu(
     return ikf, res.gravity, res.scale
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "cam_model"))
+def full_inertial_ba(
+    ms: msx.MapState,
+    ikf: InertialKF,
+    gravity: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    R_cb: jnp.ndarray,
+    t_cb: jnp.ndarray,
+    bf: float,
+    prior_bg_info: float = jnp.float32(0.0),
+    prior_ba_info: float = jnp.float32(0.0),
+    iters: int = 8,
+    cam_model: str = "pinhole",
+):
+    """Whole-map visual-inertial BA (``Optimizer::FullInertialBA``,
+    ``src/Optimizer.cc:397``): reprojection + preintegration chain + bias
+    random walks over ALL valid keyframes, matrix-free PCG Schur.
+
+    Two call sites mirror the reference: with bias priors right after IMU
+    initialization (bFIBA, ``src/LocalMapping.cc:1712-1720``) and as the
+    global BA of inertial maps after loop closure
+    (``src/LoopClosing.cc:2287-2289``) — the visual-only GBA used before
+    pulled poses off the IMU-consistent trajectory.
+
+    Full-capacity arrays + masks: one compile per session. Returns
+    (ms', ikf').
+    """
+    K, N = ms.K, ms.N
+    kf_col = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
+    obs_rows = ms.obs_lm
+    feat_ok = ms.kf_feat_valid & (obs_rows >= 0) & ms.kf_valid[:, None]
+    inv_s2 = 1.0 / (1.2 ** (2.0 * ms.kf_level.astype(jnp.float32)))
+    obs = factors.Observations(
+        kf=kf_col.reshape(-1),
+        lm=jnp.clip(obs_rows, 0).reshape(-1),
+        uv=ms.kf_xy.reshape(-1, 2),
+        u_right=ms.kf_ur.reshape(-1),
+        inv_sigma2=inv_s2.reshape(-1),
+        valid=feat_ok.reshape(-1),
+    )
+    # consecutive-chain inertial edges over all slots (masked)
+    ks = jnp.arange(1, K)
+    floor = jnp.diag(jnp.asarray(vi_ba.COV_FLOOR, jnp.float32) ** 2)
+    edges = vi_ba.InertialEdges(
+        i=(ks - 1).astype(jnp.int32),
+        j=ks.astype(jnp.int32),
+        dt=ikf.pre_dt[ks],
+        dR=ikf.pre_dR[ks],
+        dV=ikf.pre_dV[ks],
+        dP=ikf.pre_dP[ks],
+        info9=jnp.linalg.inv(ikf.pre_cov[ks] + floor[None]),
+        JRg=ikf.pre_JRg[ks],
+        JVg=ikf.pre_JVg[ks],
+        JVa=ikf.pre_JVa[ks],
+        JPg=ikf.pre_JPg[ks],
+        JPa=ikf.pre_JPa[ks],
+        bias_g0=ikf.pre_bg0[ks],
+        bias_a0=ikf.pre_ba0[ks],
+        valid=ikf.pre_valid[ks] & ms.kf_valid[ks] & ms.kf_valid[ks - 1],
+    )
+    R_bc, t_bc = lie.se3_inverse(R_cb, t_cb)
+    R_bw = jnp.einsum("ij,kjl->kil", R_bc, ms.kf_R_cw)
+    t_bw = jnp.einsum("ij,kj->ki", R_bc, ms.kf_t_cw) + t_bc
+    st = vi_ba.VIState(R_bw=R_bw, t_bw=t_bw, v=ikf.vel, bg=ikf.bg, ba=ikf.ba)
+    fixed_kf = ~ms.kf_valid | (jnp.arange(K) == 0)
+    fixed_point = ~ms.lm_valid
+
+    st_f, X_f, _ = vi_ba.vi_bundle_adjust_cg(
+        st, ms.lm_pos, obs, edges, fixed_kf, fixed_point, cam_params,
+        R_cb, t_cb, bf, gravity,
+        gyro_walk_info=vi_ba.WALK_INFO_CAP,
+        acc_walk_info=vi_ba.WALK_INFO_CAP,
+        prior_bg_info=prior_bg_info,
+        prior_ba_info=prior_ba_info,
+        iters=iters,
+        cam_model=cam_model,
+    )
+    R_cw_new = jnp.einsum("ij,kjl->kil", R_cb, st_f.R_bw)
+    t_cw_new = jnp.einsum("ij,kj->ki", R_cb, st_f.t_bw) + t_cb
+    upd = ~fixed_kf
+    ms = ms._replace(
+        kf_R_cw=jnp.where(upd[:, None, None], R_cw_new, ms.kf_R_cw),
+        kf_t_cw=jnp.where(upd[:, None], t_cw_new, ms.kf_t_cw),
+        lm_pos=jnp.where(ms.lm_valid[:, None], X_f, ms.lm_pos),
+    )
+    ikf = ikf._replace(
+        vel=jnp.where(upd[:, None], st_f.v, ikf.vel),
+        bg=jnp.where(upd[:, None], st_f.bg, ikf.bg),
+        ba=jnp.where(upd[:, None], st_f.ba, ikf.ba),
+    )
+    return ms, ikf
+
+
 @functools.partial(jax.jit, static_argnames=("window", "lm_cap", "iters",
                                               "scale", "cam_model"))
 def local_vi_ba_step(

@@ -227,8 +227,8 @@ class LoopCloser:
     def correct(
         self, ms: msx.MapState, ikf_valid_n: int, kf_idx: int, cand: int,
         R_delta, t_delta, cam_params, bf: float, run_gba: bool = True,
-        mode: str = "se3", gravity=None, s_delta=None,
-    ) -> msx.MapState:
+        mode: str = "se3", gravity=None, s_delta=None, ikf=None,
+    ):
         """CorrectLoop: pose-graph over the essential graph + landmark
         re-anchoring + optional global BA.
 
@@ -249,7 +249,7 @@ class LoopCloser:
         g = (jnp.array([0.0, 9.81, 0.0]) if gravity is None
              else jnp.asarray(gravity))
         sd = jnp.float32(1.0) if s_delta is None else jnp.asarray(s_delta)
-        ms = _correct_core(
+        ms, dR_w, s_new = _correct_core(
             ms, jnp.int32(ikf_valid_n), jnp.int32(kf_idx), jnp.int32(cand),
             R_delta, t_delta, sd, cam_params, jnp.float32(bf), g, run_gba,
             mode,
@@ -258,7 +258,17 @@ class LoopCloser:
         # reset consistency tracking
         self._consecutive = 0
         self._last_cand = -1
-        return ms
+        if ikf is None:
+            return ms
+        # rotate each keyframe's stored world-frame velocity by its own
+        # pose-graph correction (and undo the scale in sim3 mode) — the
+        # reference's corrected-Sim3 velocity propagation
+        # (``src/LoopClosing.cc:1036-1120``, mVwbBefMerge analog); stale
+        # velocities would feed the next VI-BA window a pre-correction frame
+        ikf = ikf._replace(
+            vel=jnp.einsum("kij,kj->ki", dR_w, ikf.vel) / s_new[:, None]
+        )
+        return ms, ikf
 
     # ------------------------------------------------------------------
     def _global_ba(self, ms: msx.MapState, n_kf: int, cam_params, bf: float):
@@ -492,14 +502,21 @@ def _correct_core(
     X_new = (
         jnp.einsum("lij,lj->li", Ra_new_i, pc) + ta_new_i
     ) / s_a[:, None]
+    # per-KF world-frame correction ΔR_w = R_wc_new ∘ R_cw_old: rotates any
+    # world-frame vector attached to that keyframe into the corrected frame
+    # (the reference rotates body velocities and re-expresses map-point
+    # normals through the corrected Sim3, ``src/LoopClosing.cc:1036-1120``)
+    dR_w = jnp.einsum("kji,kjl->kil", R_new, R_old)  # R_newᵀ @ R_old per KF
+    n_rot = jnp.einsum("lij,lj->li", dR_w[anchor], ms.lm_normal)
     ms = ms._replace(
         lm_pos=jnp.where(ms.lm_valid[:, None], X_new, ms.lm_pos),
+        lm_normal=jnp.where(ms.lm_valid[:, None], n_rot, ms.lm_normal),
         lm_min_dist=ms.lm_min_dist / s_a,
         lm_max_dist=ms.lm_max_dist / s_a,
     )
     if run_gba:
         ms = _global_ba_core(ms, cam_params, bf)
-    return ms
+    return ms, dR_w, s_new
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))

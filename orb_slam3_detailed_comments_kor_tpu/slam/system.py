@@ -881,12 +881,27 @@ class SlamSystem:
     _gba_chunks_left = 0
 
     def _service_gba(self) -> None:
-        """Dispatch one pending GBA slice (see _maybe_close_loop)."""
+        """Dispatch one pending GBA slice (see _maybe_close_loop).
+
+        Inertial maps get FullInertialBA slices — reprojection + the
+        preintegration chain + bias random walks over the whole map
+        (``src/LoopClosing.cc:2287-2289`` runs FullInertialBA as the GBA
+        whenever the map is inertial) — instead of the visual-only GBA,
+        which would pull poses off the IMU-consistent trajectory."""
         if self._gba_chunks_left > 0:
             with self.timer.span("mapping/gba_chunk"):
-                self.ms = self.loop_closer.gba_chunk(
-                    self.ms, self.cam_params, self.cfg.camera.bf
-                )
+                if self.cfg.is_inertial and self.imu_initialized:
+                    from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+                    self.ms, self.ikf = inertial.full_inertial_ba(
+                        self.ms, self.ikf, self.gravity, self.cam_params,
+                        self.R_cb, self.t_cb, self.cfg.camera.bf,
+                        iters=2, cam_model=self.cam_model,
+                    )
+                else:
+                    self.ms = self.loop_closer.gba_chunk(
+                        self.ms, self.cam_params, self.cfg.camera.bf
+                    )
             self._gba_chunks_left -= 1
 
     def _track_with_frame(
@@ -1260,6 +1275,17 @@ class SlamSystem:
                     self._apply_map_scale(s)
                 self.imu_initialized = True
                 self._init_kf_count = self.n_kf
+                # bFIBA: whole-map VI BA with bias priors right after init
+                # (``LocalMapping.cc:1712-1720`` → FullInertialBA with
+                # priorG=1e2, priorA=1e5, ``Optimizer.cc:397``) — snaps the
+                # visual-only map onto the IMU-consistent trajectory
+                self.ms, self.ikf = inertial.full_inertial_ba(
+                    self.ms, self.ikf, self.gravity, self.cam_params,
+                    self.R_cb, self.t_cb, cam.bf,
+                    prior_bg_info=jnp.float32(1e2),
+                    prior_ba_info=jnp.float32(1e5),
+                    iters=6, cam_model=self.cam_model,
+                )
             elif self.n_kf >= 2:
                 self.ms = tracking.local_ba_step(
                     self.ms, jnp.int32(self.n_kf - 1), self.cam_params, cam.bf,
@@ -1501,11 +1527,20 @@ class SlamSystem:
             return
         R_kf_old = self.ms.kf_R_cw[kf_idx]
         t_kf_old = self.ms.kf_t_cw[kf_idx]
-        self.ms = self.loop_closer.correct(
-            self.ms, self.n_kf, kf_idx, cand, R_d, t_d,
-            self.cam_params, self.cfg.camera.bf,
-            mode=mode, gravity=gravity, s_delta=s_d, run_gba=False,
-        )
+        if self.cfg.is_inertial:
+            # velocities are rotated per-KF by the pose-graph correction
+            self.ms, self.ikf = self.loop_closer.correct(
+                self.ms, self.n_kf, kf_idx, cand, R_d, t_d,
+                self.cam_params, self.cfg.camera.bf,
+                mode=mode, gravity=gravity, s_delta=s_d, run_gba=False,
+                ikf=self.ikf,
+            )
+        else:
+            self.ms = self.loop_closer.correct(
+                self.ms, self.n_kf, kf_idx, cand, R_d, t_d,
+                self.cam_params, self.cfg.camera.bf,
+                mode=mode, gravity=gravity, s_delta=s_d, run_gba=False,
+            )
         # GBA runs as bounded slices interleaved with the next frames'
         # dispatches instead of one whole-map solve inside this call —
         # the chunked analog of the reference's background GBA thread

@@ -74,9 +74,10 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth"):
                     (t0s + (k + 1) * dt, np.asarray(acc), np.asarray(gyro))
                 )
         slam.track_stereo_inertial(il, ir, t, samples)
-        if (i + 1) % 500 == 0:
+        if (i + 1) % 100 == 0:
             print(f"frame {i + 1}/{n_frames} kf={slam.n_kf} "
-                  f"state={slam.state} t={time.time() - t0:.0f}s",
+                  f"state={slam.state} loops={slam.loop_closer.n_loops_closed} "
+                  f"t={time.time() - t0:.0f}s",
                   flush=True)
     slam.flush_decisions()
     jax.block_until_ready(slam.t_cw)
