@@ -1,16 +1,25 @@
-"""Benchmark: tracked frames/s on one TPU chip, EuRoC-like workload.
+"""Benchmark: tracked frames/s + frame-latency percentiles on one TPU chip,
+EuRoC-like workload.
 
-Two measurements, both at EuRoC resolution (480x752, 1200 ORB features,
-20 fps sensor rate):
-- stereo (visual only): the round-1 headline metric
-- stereo-inertial: the flagship mode (reference stereo_inertial_euroc) —
-  IMU queueing + preintegration + predicted-pose tracking included.
+Measurements, all at EuRoC resolution (480x752, 1200 ORB features, 20 fps
+sensor rate):
+- stereo (visual only) throughput: the round-1 headline metric
+- stereo-inertial throughput: the flagship mode (reference
+  stereo_inertial_euroc) — IMU queueing + preintegration + predicted-pose
+  tracking included
+- per-frame latency p50/p99 for both modes: a separate pass that blocks on
+  each frame's pose before feeding the next (the real-time question the
+  reference answers with its LocalMapping thread overlap,
+  ``src/System.cc:104-148``) — KF insertions and background BA slices
+  included. Sensor period is 50 ms; p99 <= 50 ms means no frame ever waits
+  behind mapping work.
 
 Baseline: the reference tracks at sensor rate (20 fps EuRoC) on a desktop
 i7 (BASELINE.md); vs_baseline = fps / 20.0, target >= 2.0 for both.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
-"si_fps", "si_vs_baseline", "si_ate_m", "si_state"}.
+"si_fps", "si_vs_baseline", "si_ate_m", "si_state",
+"p50_ms", "p99_ms", "si_p50_ms", "si_p99_ms"}.
 """
 
 import json
@@ -48,6 +57,24 @@ def build_config(inertial: bool):
     )
 
 
+def _latency_pass(cfg, feed):
+    """Per-frame latency: block on the frame's pose before feeding the
+    next (all programs already compiled by the warm pass). Returns
+    (p50_ms, p99_ms)."""
+    from orb_slam3_detailed_comments_kor_tpu.slam.system import SlamSystem
+
+    slam = SlamSystem(cfg)
+    lat = []
+    for i in range(N_FRAMES):
+        t0 = time.perf_counter()
+        feed(slam, i)
+        jax.block_until_ready(slam.t_cw)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    # drop the bootstrap frames (map init dominates, not steady state)
+    lat = np.array(lat[5:])
+    return float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
+
+
 def bench_stereo(frames, ts):
     from orb_slam3_detailed_comments_kor_tpu.eval import ate
     from orb_slam3_detailed_comments_kor_tpu.slam.system import SlamSystem
@@ -70,7 +97,10 @@ def bench_stereo(frames, ts):
     wall = time.time() - t0
     _, centers, _ = slam.trajectory_arrays()
     rmse = ate.ate_rmse(centers, ts[: len(centers)])
-    return N_FRAMES / wall, float(rmse), slam.state
+    p50, p99 = _latency_pass(
+        cfg, lambda s, i: s.track_stereo(frames[i][0], frames[i][1], i / FPS)
+    )
+    return N_FRAMES / wall, float(rmse), slam.state, p50, p99
 
 
 def bench_stereo_inertial(frames, imu_per_frame, gt_pos):
@@ -98,7 +128,13 @@ def bench_stereo_inertial(frames, imu_per_frame, gt_pos):
     wall = time.time() - t0
     _, centers, _ = slam.trajectory_arrays()
     rmse = ate.ate_rmse(centers, gt_pos[: len(centers)])
-    return N_FRAMES / wall, float(rmse), slam.state
+    p50, p99 = _latency_pass(
+        cfg,
+        lambda s, i: s.track_stereo_inertial(
+            frames[i][0], frames[i][1], i / FPS, imu_per_frame[i]
+        ),
+    )
+    return N_FRAMES / wall, float(rmse), slam.state, p50, p99
 
 
 def main():
@@ -116,7 +152,7 @@ def main():
             h=H, w=W,
         )
         frames_v.append((il.block_until_ready(), ir.block_until_ready()))
-    fps_v, ate_v, state_v = bench_stereo(frames_v, ts)
+    fps_v, ate_v, state_v, p50_v, p99_v = bench_stereo(frames_v, ts)
     del frames_v
 
     # ---- stereo-inertial workload ---------------------------------------
@@ -143,7 +179,9 @@ def main():
                 )
         imu_pf.append(samples)
     gt_pos = np.stack(gt_pos)
-    fps_i, ate_i, state_i = bench_stereo_inertial(frames_i, imu_pf, gt_pos)
+    fps_i, ate_i, state_i, p50_i, p99_i = bench_stereo_inertial(
+        frames_i, imu_pf, gt_pos
+    )
 
     ok_v = state_v == 1 and ate_v < 0.15
     ok_i = state_i == 1 and ate_i < 0.15
@@ -160,6 +198,10 @@ def main():
                 "si_vs_baseline": round(fps_i / 20.0, 3) if ok_i else 0.0,
                 "si_ate_m": round(ate_i, 4),
                 "si_state": state_i,
+                "p50_ms": round(p50_v, 1),
+                "p99_ms": round(p99_v, 1),
+                "si_p50_ms": round(p50_i, 1),
+                "si_p99_ms": round(p99_i, 1),
                 "platform": jax.devices()[0].platform,
             }
         )

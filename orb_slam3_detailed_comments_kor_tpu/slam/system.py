@@ -10,9 +10,13 @@ new-keyframe decision (``Tracking.cc:3078``) and trajectory recording
 All per-frame compute is the jitted kernels in ``tracking.py`` /
 ``frontend.py``; this class only sequences them and pulls the few scalars
 (inlier counts) the branching decisions need.  Where the reference runs
-LocalMapping in a second thread, we run the mapping step synchronously after
-each keyframe insertion for now (async overlap is a planned optimization —
-the kernels are already separate dispatches).
+LocalMapping and the GBA in separate threads, background work here is
+CHUNKED: per-keyframe local (VI-)BA and post-loop global BA are dispatched
+as bounded 2-LM-iteration slices interleaved with the next frames' tracking
+programs (``_service_background``), so the device queue never stalls a
+frame behind a whole solve — the thread-overlap + ``mbAbortBA`` preemption
+of the reference (``src/System.cc:104-148``, ``LocalMapping.cc:115``)
+re-expressed for an in-order device stream.
 """
 
 from __future__ import annotations
@@ -34,6 +38,40 @@ class TrackingState:
     OK = 1
     RECENTLY_LOST = 2
     LOST = 3
+
+
+def select_eviction_slots(cov, protect, n_kf: int, n_evict: int = 5):
+    """Covisibility-aware last-resort eviction (host-side, [K] arrays).
+
+    Scores each unprotected slot by how strongly its temporal neighbours
+    see each other — a slot inside a dense covisible cluster loses the
+    least map coverage when removed, while sparse early "anchor" keyframes
+    (what a large loop closes against, ``src/LoopClosing.cc:991``) score
+    low and survive. Greedy pick; a chosen slot disqualifies its immediate
+    neighbours so no region is hollowed out. Returns evict mask [K] bool.
+    """
+    K = cov.shape[0]
+    score = np.full((K,), -1.0)
+    for i in range(1, n_kf - 1):
+        if not protect[i]:
+            score[i] = float(cov[i - 1, i + 1])
+    evict = np.zeros((K,), bool)
+    floor = -1.0
+    for _ in range(n_evict):
+        j = int(score.argmax())
+        if score[j] < floor:
+            break
+        evict[j] = True
+        # once the densest pick is known, later picks must be in its
+        # league — filling the quota from sparse regions would drain the
+        # anchors the quota exists to protect (evicting fewer is fine)
+        floor = max(0.0, 0.1 * score[j]) if floor < 0.0 else floor
+        score[max(j - 1, 0)] = -1.0
+        score[j] = -1.0
+        score[min(j + 1, K - 1)] = -1.0
+    if not evict.any():  # everything protected: oldest fallback
+        evict[1:1 + n_evict] = True
+    return evict
 
 
 class SlamSystem:
@@ -269,7 +307,7 @@ class SlamSystem:
         """
         cam = self.cfg.camera
         R_last, t_last, has_vel = self._pred_inputs(override_pred)
-        self._service_gba()
+        self._service_background()
         with self.timer.span("track/dispatch"):
             out = tracking.full_frame_step(
                 self.ms, img_l, img_r, R_last, t_last,
@@ -314,7 +352,7 @@ class SlamSystem:
             if (override_pred is not None and self.cfg.is_inertial)
             else self._zero_prior()
         )
-        self._service_gba()
+        self._service_background()
         with self.timer.span("track/dispatch"):
             out = tracking.full_mono_step(
                 self.ms, img, R_last, t_last,
@@ -332,7 +370,7 @@ class SlamSystem:
     def _track_rgbd_fused(self, img, depth_map, t: float) -> None:
         cam = self.cfg.camera
         R_last, t_last, has_vel = self._pred_inputs(None)
-        self._service_gba()
+        self._service_background()
         with self.timer.span("track/dispatch"):
             out = tracking.full_rgbd_step(
                 self.ms, img, depth_map, R_last, t_last,
@@ -356,7 +394,7 @@ class SlamSystem:
             if (override_pred is not None and self.cfg.is_inertial)
             else self._zero_prior()
         )
-        self._service_gba()
+        self._service_background()
         with self.timer.span("track/dispatch"):
             out = tracking.full_fisheye_step(
                 self.ms, img_l, img_r, R_last, t_last,
@@ -483,8 +521,8 @@ class SlamSystem:
             stacked = jnp.stack([it[1].n_inliers for it in q])
             self._consume_decisions(q, stacked)
         self._maybe_close_loop(flush=True)
-        while self._gba_chunks_left > 0:
-            self._service_gba()
+        while self._gba_chunks_left > 0 or self._lba_chunks_left > 0:
+            self._service_background()
 
     def _decide(
         self, frame, tr, t: float, n_inliers=None, dispatch_idx=None
@@ -569,6 +607,7 @@ class SlamSystem:
             "loop_closer": self.loop_closer,
             "traj_end": len(self.trajectory),
             "gen": self._map_gen,
+            "kf_times": list(self._host_kf_times()),
         }
         if self.cfg.is_inertial:
             # inertial maps keep their VI state so a later merge
@@ -593,6 +632,7 @@ class SlamSystem:
             vocab=_voc.load_default(),
         )
         self.n_kf = 0
+        self._kf_times_host = []
         self.frames_since_kf = 0
         self._last_kf_dispatch_idx = self._dispatch_idx
         self.inliers_at_last_kf = 0
@@ -727,6 +767,7 @@ class SlamSystem:
                 "loop_closer": self.loop_closer,
                 "traj_end": len(self.trajectory),
                 "gen": self._map_gen,
+                "kf_times": list(self._host_kf_times()),
             }
             if self.cfg.is_inertial:
                 cur["ikf"] = self.ikf
@@ -735,6 +776,9 @@ class SlamSystem:
             self.atlas_maps.append(cur)
         self.ms = shelf["ms"]
         self.n_kf = shelf["n_kf"]
+        self._kf_times_host = list(
+            shelf.get("kf_times") or np.asarray(self.ms.kf_time[: self.n_kf])
+        )
         self.loop_closer = shelf["loop_closer"]
         self._map_gen = shelf["gen"]
         self.frames_since_kf = 0
@@ -879,6 +923,54 @@ class SlamSystem:
 
     #: remaining bounded GBA slices after a loop correction
     _gba_chunks_left = 0
+    #: remaining bounded local-BA slices for the newest keyframe
+    _lba_chunks_left = 0
+    _lba_center = -1
+
+    def _schedule_local_ba(self, kf_idx: int, chunks: int = 3) -> None:
+        """Queue the per-KF local BA as bounded slices serviced one per
+        subsequent frame dispatch, instead of running the whole solve
+        inside the insertion call. This is the reference's LocalMapping
+        thread overlap (``src/System.cc:104-148``) re-expressed for a
+        device queue: tracking programs interleave with 2-LM-iteration BA
+        slices in device order, so the worst-case frame latency at KF
+        insertion is one slice, not a full local BA. A newer keyframe
+        aborts the remaining slices and restarts at its own window — the
+        ``mbAbortBA`` preemption (``LocalMapping.cc:115``)."""
+        self._lba_center = kf_idx
+        self._lba_chunks_left = chunks
+
+    def _service_local_ba(self) -> None:
+        if self._lba_chunks_left <= 0:
+            return
+        from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+        cam = self.cfg.camera
+        with self.timer.span("mapping/local_ba_chunk"):
+            if self.cfg.is_inertial and self.imu_initialized:
+                self.ms, self.ikf = inertial.local_vi_ba_step(
+                    self.ms, self.ikf, jnp.int32(self._lba_center),
+                    self.gravity, self.cam_params, self.R_cb, self.t_cb,
+                    cam.bf, window=10,
+                    lm_cap=self.cfg.capacity.max_local_landmarks,
+                    iters=2, cam_model=self.cam_model,
+                )
+            else:
+                self.ms = tracking.local_ba_step(
+                    self.ms, jnp.int32(self._lba_center), self.cam_params,
+                    cam.bf, window=min(8, self.cfg.capacity.max_local_kfs),
+                    lm_cap=self.cfg.capacity.max_local_landmarks,
+                    iters=2, cam_model=self.cam_model,
+                )
+        self._lba_chunks_left -= 1
+
+    def _service_background(self) -> None:
+        """One background slice per frame dispatch: the newest keyframe's
+        local BA first (freshest constraints), then any pending GBA."""
+        if self._lba_chunks_left > 0:
+            self._service_local_ba()
+        else:
+            self._service_gba()
 
     def _service_gba(self) -> None:
         """Dispatch one pending GBA slice (see _maybe_close_loop).
@@ -909,7 +1001,7 @@ class SlamSystem:
     ) -> None:
         """Unfused track path for pre-extracted frames (RGB-D / reloc)."""
         cam = self.cfg.camera
-        self._service_gba()
+        self._service_background()
         if self.has_velocity:
             R_pred, t_pred = lie.se3_compose(
                 self.vel_R, self.vel_t, self.R_cw, self.t_cw
@@ -1229,8 +1321,8 @@ class SlamSystem:
         cam = self.cfg.camera
         is_mono = self.cfg.sensor == SensorType.IMU_MONOCULAR
         if is_mono and self.n_kf >= 3:
-            # mono has no stereo depth: triangulate against the most
-            # covisible neighbour (CreateNewMapPoints)
+            # mono has no stereo depth: triangulate against the top-5
+            # covisible neighbours, best-parallax pick (CreateNewMapPoints)
             feat_b, X_w, want, nb = tracking.triangulate_with_neighbor(
                 self.ms, jnp.int32(kf_idx), self.cam_params,
                 w=cam.width, h=cam.height,
@@ -1247,7 +1339,8 @@ class SlamSystem:
         if self.n_kf >= 3:
             self._fuse_new_duplicates(kf_idx)
         if not self.imu_initialized:
-            span = float(self.ms.kf_time[self.n_kf - 1] - self.ms.kf_time[0])
+            kt = self._host_kf_times()
+            span = float(kt[self.n_kf - 1] - kt[0])
             # mono needs a longer baseline before scale is observable
             # (reference: 1 s stereo / 2 s mono, LocalMapping.cc:1574-1607)
             need_span = 2.0 if is_mono else 1.0
@@ -1287,6 +1380,9 @@ class SlamSystem:
                     iters=6, cam_model=self.cam_model,
                 )
             elif self.n_kf >= 2:
+                # before IMU init the solve must converge before the init
+                # window closes: run the full visual local BA inline (the
+                # pre-init phase is short and not latency-critical)
                 self.ms = tracking.local_ba_step(
                     self.ms, jnp.int32(self.n_kf - 1), self.cam_params, cam.bf,
                     window=min(8, self.cfg.capacity.max_local_kfs),
@@ -1295,12 +1391,10 @@ class SlamSystem:
                 )
                 self.ms = tracking.cull_landmarks(self.ms)
         else:
-            self.ms, self.ikf = inertial.local_vi_ba_step(
-                self.ms, self.ikf, jnp.int32(self.n_kf - 1), self.gravity,
-                self.cam_params, self.R_cb, self.t_cb, cam.bf,
-                window=10, lm_cap=self.cfg.capacity.max_local_landmarks,
-                cam_model=self.cam_model,
-            )
+            # chunked VI local BA: first slice now, the rest interleave
+            # with the next frames (LocalMapping thread-overlap analog)
+            self._schedule_local_ba(self.n_kf - 1)
+            self._service_local_ba()
             self.ms = tracking.cull_landmarks(self.ms)
             # VIBA1/VIBA2 schedule (LocalMapping.cc:238-295): re-estimate
             # gravity/bias/velocities once more map+motion has accumulated —
@@ -1387,13 +1481,22 @@ class SlamSystem:
         c3 = n_inliers < 2 * tc.min_inliers_local_map  # tracking getting thin
         return c1 or c2 or c3
 
+    def _host_kf_times(self) -> np.ndarray:
+        """Keyframe timestamps without a device sync: the host-side mirror
+        maintained at insertion/compaction, falling back to one device pull
+        when it is out of step (e.g. right after a checkpoint load)."""
+        kt = getattr(self, "_kf_times_host", None)
+        if kt is None or len(kt) != self.n_kf:
+            kt = list(np.asarray(self.ms.kf_time[: self.n_kf]))
+            self._kf_times_host = kt
+        return np.asarray(kt)
+
     def _reclaim_kf_slots(self) -> None:
         """Capacity-pressure keyframe reclamation: aggressive redundancy
         culling, slot compaction (``map_state.compact_keyframes``), and —
-        only if nothing was redundant — eviction of the oldest non-anchor
-        keyframes (sliding-window last resort). Long sequences keep mapping
-        with bounded capacity instead of silently freezing insertion
-        (VERDICT r1 missing-3; reference ``LocalMapping.cc:1194-1399``)."""
+        only if nothing was redundant — covisibility-aware eviction. Long
+        sequences keep mapping with bounded capacity instead of silently
+        freezing insertion (reference ``LocalMapping.cc:1194-1399``)."""
         K = self.ms.K
         protect = np.zeros((K,), bool)
         protect[0] = True
@@ -1402,8 +1505,8 @@ class SlamSystem:
         if self.cfg.is_inertial and self.n_kf > 2:
             # never cull a KF whose removal leaves a >3 s preintegration
             # window (the reference's inertial culling rule,
-            # ``LocalMapping.cc:1194-1399``); one rare host sync
-            times = np.asarray(self.ms.kf_time[: self.n_kf])
+            # ``LocalMapping.cc:1194-1399``)
+            times = self._host_kf_times()
             for i in range(1, self.n_kf - 1):
                 if times[i + 1] - times[i - 1] > 3.0:
                     protect[i] = True
@@ -1414,9 +1517,16 @@ class SlamSystem:
         ms2, new_of_old, n_valid = msx.compact_keyframes(self.ms)
         nv = int(n_valid)
         if nv >= K - 2:
-            # nothing redundant enough: evict the oldest non-anchor KFs
-            evict = np.zeros((K,), bool)
-            evict[1:6] = True
+            # Nothing redundant enough: evict from the densest covisible
+            # cluster. A slot whose temporal neighbours still see each
+            # other strongly loses the least coverage when removed; the
+            # greedy pick skips immediate neighbours of already-picked
+            # slots so no region is hollowed out. Blind oldest-first
+            # eviction deleted the early-map anchor region exactly when a
+            # large loop needed it (``LoopClosing.cc`` closes against the
+            # oldest keyframes).
+            cov = np.asarray(msx.covisibility_weights(self.ms, jnp.arange(K)))
+            evict = select_eviction_slots(cov, protect, self.n_kf, n_evict=5)
             ms = self.ms._replace(
                 kf_valid=self.ms.kf_valid & ~jnp.asarray(evict),
                 obs_lm=jnp.where(
@@ -1434,6 +1544,13 @@ class SlamSystem:
         self.ms = ms2
         noo = np.asarray(new_of_old)
         self.loop_closer.compact(noo)
+        # host-side timestamp mirror follows the slot compaction
+        kt = self._host_kf_times()
+        new_times = np.zeros((nv,), np.float64)
+        for old, new in enumerate(noo[: len(kt)]):
+            if new < K and new < nv:
+                new_times[new] = kt[old]
+        self._kf_times_host = list(new_times)
         # remap this map's trajectory references; culled refs fall back to
         # their absolute record-time poses
         gen = self._map_gen
@@ -1467,6 +1584,9 @@ class SlamSystem:
             cam_model=self.cam_model,
         )
         kf_idx_host = self.n_kf  # python int — avoid a device-scalar sync
+        if not hasattr(self, "_kf_times_host"):
+            self._kf_times_host = []
+        self._kf_times_host = self._kf_times_host[: self.n_kf] + [float(t)]
         self.n_kf += 1
         self.frames_since_kf = 0
         # synchronous insertion paths (init / _track_with_frame): the KF is
@@ -1572,7 +1692,7 @@ class SlamSystem:
         kf_idx = jnp.int32(self.n_kf - 1)
         if self.cfg.sensor == SensorType.MONOCULAR and self.n_kf >= 3:
             # mono has no stereo depth: triangulate new points against the
-            # most covisible neighbour (CreateNewMapPoints)
+            # top-5 covisible neighbours, best-parallax pick (CreateNewMapPoints)
             feat_b, X_w, want, nb = tracking.triangulate_with_neighbor(
                 self.ms, kf_idx, self.cam_params, w=cam.width, h=cam.height,
                 scale=self.cfg.orb.scale_factor,
@@ -1586,12 +1706,11 @@ class SlamSystem:
             )
         if self.n_kf >= 2:
             self._fuse_new_duplicates(kf_idx)
-            self.ms = tracking.local_ba_step(
-                self.ms, kf_idx, self.cam_params, cam.bf,
-                window=min(8, self.cfg.capacity.max_local_kfs),
-                lm_cap=self.cfg.capacity.max_local_landmarks,
-                cam_model=self.cam_model,
-            )
+            # local BA runs as bounded slices interleaved with the next
+            # frames' dispatches (see _schedule_local_ba) — the first slice
+            # runs NOW so a sparse-frame sequence still refines promptly
+            self._schedule_local_ba(self.n_kf - 1)
+            self._service_local_ba()
             self.ms = tracking.cull_landmarks(self.ms)
             # redundant-KF culling (visual mode; the inertial chain keeps
             # its keyframes — reference merges preintegrations instead)
