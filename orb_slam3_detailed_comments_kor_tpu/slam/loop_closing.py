@@ -274,7 +274,7 @@ class LoopCloser:
     def _global_ba(self, ms: msx.MapState, n_kf: int, cam_params, bf: float):
         """Full-map BA (GlobalBundleAdjustemnt analog), matrix-free PCG
         Schur — scales to K×L far beyond the dense coupling."""
-        return _global_ba_core(ms, cam_params, jnp.float32(bf))
+        return global_ba(ms, cam_params, bf)
 
     def gba_chunk(self, ms: msx.MapState, cam_params, bf: float):
         """One bounded GBA slice (2 LM iterations). The system dispatches
@@ -283,8 +283,9 @@ class LoopCloser:
         backgrounded GBA thread + mbStopGBA abort point
         (``LoopClosing.cc:1269``, ``:1009``): tracking programs interleave
         with the slices in device order, so the post-loop latency spike is
-        one slice, not the whole solve."""
-        return _global_ba_core(ms, cam_params, jnp.float32(bf), iters=2)
+        one slice, not the whole solve. Routes through the device mesh
+        when more than one device is available."""
+        return global_ba(ms, cam_params, bf, iters=2)
 
 
 # fused per-keyframe device programs, module-level so the jit cache is
@@ -519,11 +520,8 @@ def _correct_core(
     return ms, dR_w, s_new
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _global_ba_core(ms: msx.MapState, cam_params, bf, iters: int = 8):
-    """Whole-map BA via the matrix-free PCG Schur solver: memory is
-    O(obs), not O(K·L) — the dense coupling was ~75 MB per einsum operand
-    at bench capacity and unusable at K≥256/L≥64k (VERDICT r1 weak-3)."""
+def map_observations(ms: msx.MapState):
+    """Flat Observations table + fixed masks over the whole map state."""
     K, N = ms.K, ms.N
     kf_col = jnp.broadcast_to(
         jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
@@ -541,8 +539,46 @@ def _global_ba_core(ms: msx.MapState, cam_params, bf, iters: int = 8):
     )
     fixed_pose = ~ms.kf_valid | (jnp.arange(K) == 0)
     fixed_point = ~ms.lm_valid
+    return obs, fixed_pose, fixed_point
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _global_ba_core(ms: msx.MapState, cam_params, bf, iters: int = 8):
+    """Whole-map BA via the matrix-free PCG Schur solver: memory is
+    O(obs), not O(K·L) — the dense coupling was ~75 MB per einsum operand
+    at bench capacity and unusable at K≥256/L≥64k (VERDICT r1 weak-3).
+
+    On a multi-device runtime (pod slice / multi-host mesh) the caller
+    should use :func:`global_ba` which routes through the obs-sharded
+    ``parallel.dist_ba.distributed_bundle_adjust_cg`` instead.
+    """
+    obs, fixed_pose, fixed_point = map_observations(ms)
     res = ba.bundle_adjust_cg(
         ms.kf_R_cw, ms.kf_t_cw, ms.lm_pos, obs,
         fixed_pose, fixed_point, cam_params, bf, iters=iters, cg_iters=24,
     )
     return ms._replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw, lm_pos=res.X)
+
+
+_GBA_MESH = None
+
+
+def global_ba(ms: msx.MapState, cam_params, bf, iters: int = 8):
+    """Production GBA dispatch: single-chip jitted PCG Schur, or — when
+    the runtime exposes more than one device — the observation-sharded
+    distributed variant with ``psum`` reduction over the mesh (SURVEY §2.4
+    communication-backend plan). One mesh is built per process."""
+    global _GBA_MESH
+    if len(jax.devices()) > 1:
+        from orb_slam3_detailed_comments_kor_tpu.parallel import dist_ba
+
+        if _GBA_MESH is None or _GBA_MESH.devices.size != len(jax.devices()):
+            _GBA_MESH = dist_ba.make_mesh()
+        obs, fixed_pose, fixed_point = map_observations(ms)
+        R, t, X = dist_ba.distributed_bundle_adjust_cg(
+            _GBA_MESH, ms.kf_R_cw, ms.kf_t_cw, ms.lm_pos, obs,
+            fixed_pose, fixed_point, cam_params, jnp.float32(bf),
+            iters=iters, cg_iters=24,
+        )
+        return ms._replace(kf_R_cw=R, kf_t_cw=t, lm_pos=X)
+    return _global_ba_core(ms, cam_params, jnp.float32(bf), iters=iters)

@@ -124,6 +124,10 @@ class SlamSystem:
         self.inliers_at_last_kf = 0
         self.n_frames = 0
         self.n_lost_frames = 0
+        # lifecycle counters (observability; EUROC_RESULTS reporting)
+        self.stats = {
+            "kf_inserted": 0, "kf_culled": 0, "kf_evicted": 0, "reclaims": 0,
+        }
         # monotone index of dispatched tracked frames; each queued decision
         # snapshots it so the KF-gap is computed against the DECIDED frame,
         # not the live counter (a mid-batch insertion must not suppress the
@@ -1510,12 +1514,18 @@ class SlamSystem:
             for i in range(1, self.n_kf - 1):
                 if times[i + 1] - times[i - 1] > 3.0:
                     protect[i] = True
+        n_before = self.n_kf
+        self.stats["reclaims"] += 1
+        # pending local-BA slices index pre-compaction slots — abort them
+        # (the inserting keyframe schedules fresh ones right after)
+        self._lba_chunks_left = 0
         self.ms = tracking.cull_redundant_keyframes(
             self.ms, jnp.asarray(protect), max_cull=8,
             redundancy=0.75,
         )
         ms2, new_of_old, n_valid = msx.compact_keyframes(self.ms)
         nv = int(n_valid)
+        self.stats["kf_culled"] += n_before - nv
         if nv >= K - 2:
             # Nothing redundant enough: evict from the densest covisible
             # cluster. A slot whose temporal neighbours still see each
@@ -1527,6 +1537,7 @@ class SlamSystem:
             # oldest keyframes).
             cov = np.asarray(msx.covisibility_weights(self.ms, jnp.arange(K)))
             evict = select_eviction_slots(cov, protect, self.n_kf, n_evict=5)
+            self.stats["kf_evicted"] += int(evict.sum())
             ms = self.ms._replace(
                 kf_valid=self.ms.kf_valid & ~jnp.asarray(evict),
                 obs_lm=jnp.where(
@@ -1584,6 +1595,7 @@ class SlamSystem:
             cam_model=self.cam_model,
         )
         kf_idx_host = self.n_kf  # python int — avoid a device-scalar sync
+        self.stats["kf_inserted"] += 1
         if not hasattr(self, "_kf_times_host"):
             self._kf_times_host = []
         self._kf_times_host = self._kf_times_host[: self.n_kf] + [float(t)]
@@ -1774,17 +1786,54 @@ class SlamSystem:
         gen_pose = {
             g: (np.asarray(R), np.asarray(t)) for g, (R, t) in gen_pose.items()
         }
+        # batch the device→host conversion: fixed-size stacked pulls, not
+        # one RTT per record (a 3,000-frame run spent ~9 minutes pulling
+        # [3,3] relatives one by one through the remote tunnel); the fixed
+        # 256-operand chunk keeps the stacking program compiled once
+        def _pull(arrs, ch=256):
+            if not arrs:
+                return np.zeros((0,))
+            out = []
+            for c0 in range(0, len(arrs), ch):
+                chunk = list(arrs[c0:c0 + ch])
+                chunk += [chunk[-1]] * (ch - len(chunk))
+                out.append(np.asarray(jnp.stack(chunk)))
+            return np.concatenate(out)[: len(arrs)]
+
+        rel_idx = [
+            i for i, rec in enumerate(self.trajectory) if rec[3] is not None
+        ]
+        R_rel_h = {}
+        t_rel_h = {}
+        R_abs_h = {}
+        t_abs_h = {}
+        if self.trajectory:
+            if rel_idx:
+                R_rel_h = dict(zip(rel_idx, _pull(
+                    [self.trajectory[i][3] for i in rel_idx]
+                )))
+                t_rel_h = dict(zip(rel_idx, _pull(
+                    [self.trajectory[i][4] for i in rel_idx]
+                )))
+            R_abs_h = dict(enumerate(_pull(
+                [rec[5] for rec in self.trajectory]
+            )))
+            t_abs_h = dict(enumerate(_pull(
+                [rec[6] for rec in self.trajectory]
+            )))
         ts, Rs, tt = [], [], []
-        for (t, gen, kf, R_rel, t_rel, R_abs, t_abs) in self.trajectory:
+        for i, (t, gen, kf, R_rel, t_rel, R_abs, t_abs) in enumerate(
+            self.trajectory
+        ):
             ts.append(t)
-            if kf >= 0 and gen in gen_pose:
+            if kf >= 0 and gen in gen_pose and i in R_rel_h:
                 Rk, tk = gen_pose[gen][0][kf], gen_pose[gen][1][kf]
-                Rr = np.asarray(R_rel)
+                Rr = R_rel_h[i]
                 Rs.append(Rr @ Rk)
-                tt.append(Rr @ tk + np.asarray(t_rel))
+                tt.append(Rr @ tk + t_rel_h[i])
             else:
-                Rs.append(np.asarray(R_abs))
-                tt.append(np.asarray(t_abs))
+                Rs.append(R_abs_h[i])
+                tt.append(t_abs_h[i])
         ts = np.array(ts)
         Rs = np.stack(Rs)
         tt = np.stack(tt)

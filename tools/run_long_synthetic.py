@@ -83,6 +83,7 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth"):
     R_all, p_all, acc_all, gyro_all, t_end, spf = precompute_gt_and_imu(
         traj, n_frames
     )
+    centers0 = None
     t0 = time.time()
     track_s = 0.0
     for i in range(n_frames):
@@ -101,9 +102,17 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth"):
         tt = time.time()
         slam.track_stereo_inertial(il, ir, t, samples)
         track_s += time.time() - tt
+        if centers0 is None and slam.state == 1:
+            centers0 = -np.asarray(slam.R_cw).T @ np.asarray(slam.t_cw)
         if (i + 1) % 100 == 0:
-            print(f"frame {i + 1}/{n_frames} kf={slam.n_kf} "
+            # live pose error vs ground truth (translation of the world
+            # offset; cheap forensic signal — one pull per 100 frames)
+            c = -np.asarray(slam.R_cw).T @ np.asarray(slam.t_cw)
+            err = float(np.linalg.norm((c - centers0) - (p_all[i] - p_all[0])))
+            n_lm = int(np.asarray(slam.ms.lm_valid).sum())
+            print(f"frame {i + 1}/{n_frames} kf={slam.n_kf} lm={n_lm} "
                   f"state={slam.state} loops={slam.loop_closer.n_loops_closed} "
+                  f"err={err:.3f} stats={slam.stats} "
                   f"t={time.time() - t0:.0f}s",
                   flush=True)
     tt = time.time()
