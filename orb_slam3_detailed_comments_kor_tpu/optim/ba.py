@@ -78,6 +78,8 @@ def pose_optimization(
     iters: int = 10,
     prior=None,
     cam_model: str = "pinhole",
+    uv_r=None,
+    rig=None,
 ) -> PoseOptResult:
     """Motion-only BA: optimize one pose against fixed 3-D points.
 
@@ -93,6 +95,11 @@ def pose_optimization(
     ``Optimizer.cc:6697`` — there the full 15-D state is optimized; here
     velocity/bias stay at their predicted values and only the pose feels
     the inertial pull, which is what damps visual jitter).
+
+    uv_r [N,2] + rig=(R_rl, t_rl, cam_params_r): rig right-camera pixels
+    per observation (x<0 = none) — each becomes an independent mono
+    residual through the rig extrinsic (reference
+    ``EdgeSE3ProjectXYZOnlyPoseToBody``, ``OptimizableTypes.h:94-118``).
     """
     n = X.shape[0]
     obs = Observations(
@@ -103,12 +110,25 @@ def pose_optimization(
         inv_sigma2=inv_sigma2,
         valid=valid,
     )
+    if rig is not None:
+        obs = Observations(
+            kf=jnp.zeros((2 * n,), jnp.int32),
+            lm=jnp.tile(jnp.arange(n, dtype=jnp.int32), 2),
+            uv=jnp.concatenate([uv, uv_r]),
+            u_right=-jnp.ones((2 * n,), u_right.dtype),
+            inv_sigma2=jnp.tile(inv_sigma2, 2),
+            valid=jnp.concatenate([valid, valid & (uv_r[:, 0] >= 0)]),
+            cam=jnp.concatenate([
+                jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32)
+            ]),
+        )
+        valid = obs.valid
     delta2 = jnp.where(obs.u_right >= 0, CHI2_STEREO, CHI2_MONO)
 
     def residual(R, t, active):
         r, row_mask, depth_ok = factors.reproj_residuals(
             R[None], t[None], X, obs._replace(valid=active), cam_params, bf,
-            cam_model,
+            cam_model, rig=rig,
         )
         return r, row_mask, depth_ok
 
@@ -149,7 +169,7 @@ def pose_optimization(
             chi2, w_h, _ = _eval_weights(r, obs, use_huber)
             w = obs.inv_sigma2 * w_h * active
             Jp, _ = factors.reproj_jacobians(
-                R[None], t[None], X, obs, cam_params, bf, cam_model
+                R[None], t[None], X, obs, cam_params, bf, cam_model, rig=rig
             )
             Jp = Jp * row_mask[:, :, None]
             H = jnp.einsum("oij,oik,o->jk", Jp, Jp, w)
@@ -197,6 +217,10 @@ def pose_optimization(
         lm_round, (R_cw, t_cw, inlier0), jnp.arange(rounds)
     )
     R = lie.project_to_so3(R)
+    if rig is not None:
+        # report LEFT-camera inliers only: callers' min-inlier thresholds
+        # and per-landmark bookkeeping are defined on left-frame features
+        inlier = inlier[:n]
     return PoseOptResult(R, t, inlier, jnp.sum(inlier))
 
 
@@ -213,16 +237,16 @@ class BAResult(NamedTuple):
 
 
 def _build_normal_blocks(R_cw, t_cw, X, obs, cam_params, bf, w_total, row_mask,
-                         cam_model="pinhole"):
+                         cam_model="pinhole", rig=None):
     """Per-obs Jacobian blocks + scatter-accumulated Hpp/Hll/b."""
     K = R_cw.shape[0]
     L = X.shape[0]
     Jp, Jl = factors.reproj_jacobians(R_cw, t_cw, X, obs, cam_params, bf,
-                                      cam_model)
+                                      cam_model, rig=rig)
     Jp = Jp * row_mask[:, :, None]
     Jl = Jl * row_mask[:, :, None]
     r, _, _ = factors.reproj_residuals(R_cw, t_cw, X, obs, cam_params, bf,
-                                       cam_model)
+                                       cam_model, rig=rig)
     Hpp = jnp.zeros((K, 6, 6)).at[obs.kf].add(
         w_total[:, None, None] * jnp.einsum("oij,oik->ojk", Jp, Jp)
     )
@@ -254,6 +278,7 @@ def bundle_adjust(
     iters: int = 10,
     use_huber: bool = True,
     cam_model: str = "pinhole",
+    rig=None,
 ) -> BAResult:
     """Joint pose+structure LM with Schur-complement landmark elimination.
 
@@ -269,7 +294,7 @@ def bundle_adjust(
 
     def total_cost(R, t, Xc):
         r, _, dok = factors.reproj_residuals(R, t, Xc, obs, cam_params, bf,
-                                             cam_model)
+                                             cam_model, rig=rig)
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         c = jnp.where(use_huber, _robust_cost(chi2, delta2), chi2)
         return jnp.sum(c * (obs.valid & dok)), chi2
@@ -277,14 +302,14 @@ def bundle_adjust(
     def lm_iter(carry, _):
         R, t, Xc, lam, best_cost = carry
         r, row_mask, depth_ok = factors.reproj_residuals(
-            R, t, Xc, obs, cam_params, bf, cam_model
+            R, t, Xc, obs, cam_params, bf, cam_model, rig=rig
         )
         chi2, w_h, _ = _eval_weights(r, obs, use_huber)
         w = obs.inv_sigma2 * w_h * (obs.valid & depth_ok)
         # freeze contributions of fixed variables by zeroing their Jacobians
         Hpp, Hll, bp, bl, Wpl = _build_normal_blocks(
             R, t, Xc, obs._replace(valid=obs.valid & depth_ok),
-            cam_params, bf, w, row_mask, cam_model,
+            cam_params, bf, w, row_mask, cam_model, rig=rig,
         )
         free_p = (~fixed_pose).astype(jnp.float32)
         free_l = (~fixed_point).astype(jnp.float32)
@@ -434,6 +459,7 @@ def bundle_adjust_cg(
     cg_iters: int = 24,
     use_huber: bool = True,
     cam_model: str = "pinhole",
+    rig=None,
 ) -> BAResult:
     """Large-scale BA: LM with PCG on the (implicit) reduced camera system.
 
@@ -452,7 +478,7 @@ def bundle_adjust_cg(
 
     def total_cost(R, t, Xc):
         r, _, dok = factors.reproj_residuals(R, t, Xc, obs, cam_params, bf,
-                                             cam_model)
+                                             cam_model, rig=rig)
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         c = jnp.where(use_huber, _robust_cost(chi2, delta2), chi2)
         return jnp.sum(c * (obs.valid & dok)), chi2
@@ -460,12 +486,12 @@ def bundle_adjust_cg(
     def lm_iter(carry, _):
         R, t, Xc, lam, best_cost = carry
         r, row_mask, depth_ok = factors.reproj_residuals(
-            R, t, Xc, obs, cam_params, bf, cam_model
+            R, t, Xc, obs, cam_params, bf, cam_model, rig=rig
         )
         chi2, w_h, _ = _eval_weights(r, obs, use_huber)
         w = obs.inv_sigma2 * w_h * (obs.valid & depth_ok)
         Jp, Jl = factors.reproj_jacobians(R, t, Xc, obs, cam_params, bf,
-                                          cam_model)
+                                          cam_model, rig=rig)
         Jp = Jp * row_mask[:, :, None]
         Jl = Jl * row_mask[:, :, None]
         # per-obs blocks; fixed pose/point columns are zeroed at the source

@@ -178,6 +178,7 @@ def vi_bundle_adjust(
     iters: int = 10,
     fix_scale: bool = True,
     cam_model: str = "pinhole",
+    rig=None,
 ):
     """Joint VI-LM over K keyframes (15-dim each) + L landmarks.
 
@@ -199,7 +200,7 @@ def vi_bundle_adjust(
     def total_cost(stc, Xc):
         R_cw, t_cw = camera_pose(stc)
         r, _, dok = factors.reproj_residuals(R_cw, t_cw, Xc, obs, cam_params,
-                                             bf, cam_model)
+                                             bf, cam_model, rig=rig)
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         c_vis = jnp.sum(ba._robust_cost(chi2, delta2) * (obs.valid & dok))
         r_in, _ = eval_inertial(stc, edges, gravity)
@@ -223,7 +224,7 @@ def vi_bundle_adjust(
 
         # ---- visual part: same blocks as ba.py, lifted into 15-dim ------
         r, row_mask, depth_ok = factors.reproj_residuals(
-            R_cw, t_cw, Xc, obs, cam_params, bf, cam_model
+            R_cw, t_cw, Xc, obs, cam_params, bf, cam_model, rig=rig
         )
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         w_h = factors.huber_weight(chi2, delta2)
@@ -234,7 +235,8 @@ def vi_bundle_adjust(
         Xo = Xc[obs.lm]
         pb = jnp.einsum("oij,oj->oi", Rk, Xo) + tk
         pc = jnp.einsum("ij,oj->oi", R_cb, pb) + t_cb
-        _, Jproj = factors.project_with_jac(cam_params, pc, bf, cam_model)
+        _, Jproj, _ = factors._rig_select(obs, pc, cam_params, bf, cam_model,
+                                          rig)
         eye = jnp.broadcast_to(jnp.eye(3), (pb.shape[0], 3, 3))
         dpb_dxi = jnp.concatenate([eye, -lie.hat(pb)], axis=-1)  # [O,3,6]
         dpc_dxi = jnp.einsum("ij,ojk->oik", R_cb, dpb_dxi)
@@ -429,6 +431,7 @@ def vi_bundle_adjust_cg(
     iters: int = 8,
     cg_iters: int = 24,
     cam_model: str = "pinhole",
+    rig=None,
 ):
     """Whole-map VI LM: same state/factor model as :func:`vi_bundle_adjust`
     but with matrix-free Schur landmark elimination + block-Jacobi PCG on
@@ -458,7 +461,7 @@ def vi_bundle_adjust_cg(
     def total_cost(stc, Xc):
         R_cw, t_cw = camera_pose(stc)
         r, _, dok = factors.reproj_residuals(R_cw, t_cw, Xc, obs, cam_params,
-                                             bf, cam_model)
+                                             bf, cam_model, rig=rig)
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         c_vis = jnp.sum(ba._robust_cost(chi2, delta2) * (obs.valid & dok))
         r_in, _ = eval_inertial(stc, edges, gravity)
@@ -486,7 +489,7 @@ def vi_bundle_adjust_cg(
 
         # ---- visual blocks (body-pose tangent, dims 0:6) -----------------
         r, row_mask, depth_ok = factors.reproj_residuals(
-            R_cw, t_cw, Xc, obs, cam_params, bf, cam_model
+            R_cw, t_cw, Xc, obs, cam_params, bf, cam_model, rig=rig
         )
         chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
         w_h = factors.huber_weight(chi2, delta2)
@@ -496,7 +499,8 @@ def vi_bundle_adjust_cg(
         Xo = Xc[obs.lm]
         pb = jnp.einsum("oij,oj->oi", Rk, Xo) + tk
         pc = jnp.einsum("ij,oj->oi", R_cb, pb) + t_cb
-        _, Jproj = factors.project_with_jac(cam_params, pc, bf, cam_model)
+        _, Jproj, _ = factors._rig_select(obs, pc, cam_params, bf, cam_model,
+                                          rig)
         eyeO = jnp.broadcast_to(jnp.eye(3), (pb.shape[0], 3, 3))
         dpb_dxi = jnp.concatenate([eyeO, -lie.hat(pb)], axis=-1)
         dpc_dxi = jnp.einsum("ij,ojk->oik", R_cb, dpb_dxi)

@@ -51,6 +51,7 @@ def pad_obs_to_devices(obs: Observations, n_dev: int) -> Observations:
         u_right=jnp.concatenate([obs.u_right, -jnp.ones((pad,))]),
         inv_sigma2=f(obs.inv_sigma2),
         valid=jnp.concatenate([obs.valid, jnp.zeros((pad,), bool)]),
+        cam=None if obs.cam is None else f(obs.cam),
     )
 
 
@@ -187,6 +188,8 @@ def distributed_bundle_adjust_cg(
     bf: float,
     iters: int = 8,
     cg_iters: int = 20,
+    cam_model: str = "pinhole",
+    rig=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """GBA-scale distributed LM-BA: obs-sharded matrix-free PCG Schur.
 
@@ -206,6 +209,7 @@ def distributed_bundle_adjust_cg(
     obs_spec = Observations(
         kf=P(axis), lm=P(axis), uv=P(axis), u_right=P(axis),
         inv_sigma2=P(axis), valid=P(axis),
+        cam=None if obs.cam is None else P(axis),
     )
     eye3 = jnp.eye(3)
     eye6 = jnp.eye(6)
@@ -222,7 +226,7 @@ def distributed_bundle_adjust_cg(
 
         def total_cost(R, t, Xc):
             r, _, dok = factors.reproj_residuals(
-                R, t, Xc, obs_l, cam_params, bf
+                R, t, Xc, obs_l, cam_params, bf, cam_model, rig=rig
             )
             chi2 = jnp.sum(r * r, axis=-1) * obs_l.inv_sigma2
             d2 = jnp.where(
@@ -234,7 +238,7 @@ def distributed_bundle_adjust_cg(
         def lm_iter(carry, _):
             R, t, Xc, lam, best_cost = carry
             r, row_mask, depth_ok = factors.reproj_residuals(
-                R, t, Xc, obs_l, cam_params, bf
+                R, t, Xc, obs_l, cam_params, bf, cam_model, rig=rig
             )
             chi2 = jnp.sum(r * r, axis=-1) * obs_l.inv_sigma2
             d2 = jnp.where(
@@ -242,7 +246,8 @@ def distributed_bundle_adjust_cg(
             )
             w_h = factors.huber_weight(chi2, d2)
             w = obs_l.inv_sigma2 * w_h * (obs_l.valid & depth_ok)
-            Jp, Jl = factors.reproj_jacobians(R, t, Xc, obs_l, cam_params, bf)
+            Jp, Jl = factors.reproj_jacobians(R, t, Xc, obs_l, cam_params, bf,
+                                              cam_model, rig=rig)
             Jp = Jp * row_mask[:, :, None]
             Jl = Jl * row_mask[:, :, None]
             kf_l, lm_l = obs_l.kf, obs_l.lm

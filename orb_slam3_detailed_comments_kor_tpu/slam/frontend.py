@@ -32,6 +32,9 @@ class Frame(NamedTuple):
     valid: jnp.ndarray     # [N] bool
     u_right: jnp.ndarray   # [N] float32 (-1 mono)
     depth: jnp.ndarray     # [N] float32 (-1 unknown)
+    # matched RIGHT-camera pixel for rig (dual-fisheye) frames; x<0 → none.
+    # None on rectified/mono paths (right-view info lives in u_right there).
+    uv_r: Optional[jnp.ndarray] = None  # [N,2] float32
 
     @property
     def n(self) -> int:
@@ -198,13 +201,12 @@ def process_stereo_fisheye(
     match and depth comes from two-view midpoint triangulation through the
     calibrated extrinsic (R_rl, t_rl — left→right).
 
-    Design note: matched points carry metric ``depth`` on the LEFT frame
-    and u_right = −1, i.e. downstream optimization uses mono reprojection
-    residuals plus depth-spawned landmarks — the reference instead keeps
-    right-view observations alive through dedicated right-camera edges
-    (``OptimizableTypes.h`` ToBody variants); the depth path preserves the
-    metric scale and the full tracking/BA pipeline at a fraction of the
-    machinery.
+    Matched points carry metric ``depth`` on the LEFT frame (spawning
+    scale-true landmarks) AND the matched right-camera pixel in ``uv_r``:
+    downstream pose optimization / BA add an independent right-camera mono
+    residual through the rig extrinsic per matched feature — the analog of
+    the reference's dedicated right-camera edges (``OptimizableTypes.h``
+    ToBody variants) without a second feature table.
     """
     from orb_slam3_detailed_comments_kor_tpu.models import camera as cam_mod
     from orb_slam3_detailed_comments_kor_tpu.ops import (
@@ -250,6 +252,7 @@ def process_stereo_fisheye(
         & (cos_par < 0.9998)
     )
     d = jnp.where(ok, X_l[:, 2], -1.0)
+    uv_r = jnp.where(ok[:, None], fr.xy[ridx], -1.0)
     return Frame(
         xy=fl.xy,
         level=fl.level,
@@ -259,4 +262,5 @@ def process_stereo_fisheye(
         valid=fl.valid,
         u_right=-jnp.ones((fl.xy.shape[0],), jnp.float32),
         depth=d,
+        uv_r=uv_r,
     )

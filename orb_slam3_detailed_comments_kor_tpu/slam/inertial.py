@@ -253,6 +253,7 @@ def full_inertial_ba(
     prior_ba_info: float = jnp.float32(0.0),
     iters: int = 8,
     cam_model: str = "pinhole",
+    rig=None,
 ):
     """Whole-map visual-inertial BA (``Optimizer::FullInertialBA``,
     ``src/Optimizer.cc:397``): reprojection + preintegration chain + bias
@@ -280,6 +281,8 @@ def full_inertial_ba(
         inv_sigma2=inv_s2.reshape(-1),
         valid=feat_ok.reshape(-1),
     )
+    if rig is not None:
+        obs = factors.with_rig_rows(obs, ms.kf_uvr.reshape(-1, 2))
     # consecutive-chain inertial edges over all slots (masked)
     ks = jnp.arange(1, K)
     floor = jnp.diag(jnp.asarray(vi_ba.COV_FLOOR, jnp.float32) ** 2)
@@ -316,6 +319,7 @@ def full_inertial_ba(
         prior_ba_info=prior_ba_info,
         iters=iters,
         cam_model=cam_model,
+        rig=rig,
     )
     R_cw_new = jnp.einsum("ij,kjl->kil", R_cb, st_f.R_bw)
     t_cw_new = jnp.einsum("ij,kj->ki", R_cb, st_f.t_bw) + t_cb
@@ -349,6 +353,7 @@ def local_vi_ba_step(
     iters: int = 6,
     scale: float = 1.2,
     cam_model: str = "pinhole",
+    rig=None,
 ):
     """Sliding-temporal-window local inertial BA (LocalInertialBA analog:
     the reference uses the last 10-25 temporally-consecutive KFs,
@@ -392,6 +397,8 @@ def local_vi_ba_step(
         inv_sigma2=inv_s2.reshape(-1),
         valid=obs_valid.reshape(-1),
     )
+    if rig is not None:
+        obs = factors.with_rig_rows(obs, ms.kf_uvr[win].reshape(-1, 2))
 
     # inertial edges between consecutive window slots
     ks = win[1:]
@@ -433,6 +440,7 @@ def local_vi_ba_step(
         acc_walk_info=vi_ba.WALK_INFO_CAP,
         iters=iters,
         cam_model=cam_model,
+        rig=rig,
     )
 
     # write back: camera poses T_cw = T_cb ∘ T_bw, inertial states, landmarks

@@ -271,12 +271,14 @@ class LoopCloser:
         return ms, ikf
 
     # ------------------------------------------------------------------
-    def _global_ba(self, ms: msx.MapState, n_kf: int, cam_params, bf: float):
+    def _global_ba(self, ms: msx.MapState, n_kf: int, cam_params, bf: float,
+                   cam_model: str = "pinhole", rig=None):
         """Full-map BA (GlobalBundleAdjustemnt analog), matrix-free PCG
         Schur — scales to K×L far beyond the dense coupling."""
-        return global_ba(ms, cam_params, bf)
+        return global_ba(ms, cam_params, bf, cam_model=cam_model, rig=rig)
 
-    def gba_chunk(self, ms: msx.MapState, cam_params, bf: float):
+    def gba_chunk(self, ms: msx.MapState, cam_params, bf: float,
+                  cam_model: str = "pinhole", rig=None):
         """One bounded GBA slice (2 LM iterations). The system dispatches
         these between frames instead of running the whole GBA inside the
         loop-correction call — the chunked analog of the reference's
@@ -285,7 +287,8 @@ class LoopCloser:
         with the slices in device order, so the post-loop latency spike is
         one slice, not the whole solve. Routes through the device mesh
         when more than one device is available."""
-        return global_ba(ms, cam_params, bf, iters=2)
+        return global_ba(ms, cam_params, bf, iters=2, cam_model=cam_model,
+                         rig=rig)
 
 
 # fused per-keyframe device programs, module-level so the jit cache is
@@ -517,11 +520,14 @@ def _correct_core(
     )
     if run_gba:
         ms = _global_ba_core(ms, cam_params, bf)
-    return ms, dR_w, s_new
+    return ms, dR_w, s_new  # (run_gba callers are pinhole-only tests)
 
 
-def map_observations(ms: msx.MapState):
-    """Flat Observations table + fixed masks over the whole map state."""
+def map_observations(ms: msx.MapState, with_rig: bool = False):
+    """Flat Observations table + fixed masks over the whole map state.
+
+    with_rig: append one right-camera row per feature slot (ToBody edges,
+    fisheye rigs) — see ``factors.with_rig_rows``."""
     K, N = ms.K, ms.N
     kf_col = jnp.broadcast_to(
         jnp.arange(K, dtype=jnp.int32)[:, None], (K, N)
@@ -537,13 +543,16 @@ def map_observations(ms: msx.MapState):
         inv_sigma2=inv_s2.reshape(-1),
         valid=feat_ok.reshape(-1),
     )
+    if with_rig:
+        obs = factors.with_rig_rows(obs, ms.kf_uvr.reshape(-1, 2))
     fixed_pose = ~ms.kf_valid | (jnp.arange(K) == 0)
     fixed_point = ~ms.lm_valid
     return obs, fixed_pose, fixed_point
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _global_ba_core(ms: msx.MapState, cam_params, bf, iters: int = 8):
+@functools.partial(jax.jit, static_argnames=("iters", "cam_model"))
+def _global_ba_core(ms: msx.MapState, cam_params, bf, iters: int = 8,
+                    cam_model: str = "pinhole", rig=None):
     """Whole-map BA via the matrix-free PCG Schur solver: memory is
     O(obs), not O(K·L) — the dense coupling was ~75 MB per einsum operand
     at bench capacity and unusable at K≥256/L≥64k (VERDICT r1 weak-3).
@@ -552,10 +561,13 @@ def _global_ba_core(ms: msx.MapState, cam_params, bf, iters: int = 8):
     should use :func:`global_ba` which routes through the obs-sharded
     ``parallel.dist_ba.distributed_bundle_adjust_cg`` instead.
     """
-    obs, fixed_pose, fixed_point = map_observations(ms)
+    obs, fixed_pose, fixed_point = map_observations(
+        ms, with_rig=rig is not None
+    )
     res = ba.bundle_adjust_cg(
         ms.kf_R_cw, ms.kf_t_cw, ms.lm_pos, obs,
         fixed_pose, fixed_point, cam_params, bf, iters=iters, cg_iters=24,
+        cam_model=cam_model, rig=rig,
     )
     return ms._replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw, lm_pos=res.X)
 
@@ -563,7 +575,8 @@ def _global_ba_core(ms: msx.MapState, cam_params, bf, iters: int = 8):
 _GBA_MESH = None
 
 
-def global_ba(ms: msx.MapState, cam_params, bf, iters: int = 8):
+def global_ba(ms: msx.MapState, cam_params, bf, iters: int = 8,
+              cam_model: str = "pinhole", rig=None):
     """Production GBA dispatch: single-chip jitted PCG Schur, or — when
     the runtime exposes more than one device — the observation-sharded
     distributed variant with ``psum`` reduction over the mesh (SURVEY §2.4
@@ -574,11 +587,14 @@ def global_ba(ms: msx.MapState, cam_params, bf, iters: int = 8):
 
         if _GBA_MESH is None or _GBA_MESH.devices.size != len(jax.devices()):
             _GBA_MESH = dist_ba.make_mesh()
-        obs, fixed_pose, fixed_point = map_observations(ms)
+        obs, fixed_pose, fixed_point = map_observations(
+            ms, with_rig=rig is not None
+        )
         R, t, X = dist_ba.distributed_bundle_adjust_cg(
             _GBA_MESH, ms.kf_R_cw, ms.kf_t_cw, ms.lm_pos, obs,
             fixed_pose, fixed_point, cam_params, jnp.float32(bf),
-            iters=iters, cg_iters=24,
+            iters=iters, cg_iters=24, cam_model=cam_model, rig=rig,
         )
         return ms._replace(kf_R_cw=R, kf_t_cw=t, lm_pos=X)
-    return _global_ba_core(ms, cam_params, jnp.float32(bf), iters=iters)
+    return _global_ba_core(ms, cam_params, jnp.float32(bf), iters=iters,
+                           cam_model=cam_model, rig=rig)

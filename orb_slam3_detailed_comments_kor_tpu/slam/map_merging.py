@@ -205,6 +205,7 @@ def _concat_maps(
         kf_angle=ms.kf_angle.at[kf_dst].set(ms_cur.kf_angle, mode="drop"),
         kf_desc=ms.kf_desc.at[kf_dst].set(ms_cur.kf_desc, mode="drop"),
         kf_ur=ms.kf_ur.at[kf_dst].set(ms_cur.kf_ur, mode="drop"),
+        kf_uvr=ms.kf_uvr.at[kf_dst].set(ms_cur.kf_uvr, mode="drop"),
         kf_feat_valid=ms.kf_feat_valid.at[kf_dst].set(
             ms_cur.kf_feat_valid, mode="drop"
         ),

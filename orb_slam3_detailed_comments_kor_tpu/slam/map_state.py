@@ -42,6 +42,7 @@ class MapState(NamedTuple):
     kf_angle: jnp.ndarray     # [K,N] float32
     kf_desc: jnp.ndarray      # [K,N,8] uint32 packed descriptors
     kf_ur: jnp.ndarray        # [K,N] float32 right-u (-1 mono)
+    kf_uvr: jnp.ndarray       # [K,N,2] float32 rig right-cam pixel (x<0 none)
     kf_feat_valid: jnp.ndarray  # [K,N] bool
     # --- observation graph ---
     obs_lm: jnp.ndarray       # [K,N] int32 landmark idx or -1
@@ -81,6 +82,7 @@ def empty_map(max_kf: int, n_feat: int, max_lm: int) -> MapState:
         kf_angle=jnp.zeros((K, N)),
         kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
         kf_ur=-jnp.ones((K, N)),
+        kf_uvr=-jnp.ones((K, N, 2)),
         kf_feat_valid=jnp.zeros((K, N), bool),
         obs_lm=-jnp.ones((K, N), jnp.int32),
         lm_pos=jnp.zeros((L, 3)),
@@ -206,6 +208,7 @@ def compact_keyframes(ms: MapState):
         kf_angle=take(ms.kf_angle),
         kf_desc=take(ms.kf_desc),
         kf_ur=jnp.where(mask[:, None], ms.kf_ur[src], -1.0),
+        kf_uvr=jnp.where(mask[:, None, None], ms.kf_uvr[src], -1.0),
         kf_feat_valid=take(ms.kf_feat_valid),
         obs_lm=jnp.where(mask[:, None], ms.obs_lm[src], -1),
         lm_first_kf=jnp.clip(first_new, 0, K - 1),

@@ -113,6 +113,12 @@ class SlamSystem:
             # Tlr maps right-frame coords to left; triangulation wants the
             # left→right transform
             self.R_rl, self.t_rl = lie.se3_inverse(R_lr, t_lr)
+        # right-camera observation rig for the optimizers (ToBody edges,
+        # ``include/OptimizableTypes.h:31-145``): (R_rl, t_rl, params_r)
+        self.rig = (
+            (self.R_rl, self.t_rl, self.cam_params_r)
+            if self.stereo_fisheye else None
+        )
         self.state = TrackingState.NOT_INITIALIZED
         self.R_cw = jnp.eye(3)
         self.t_cw = jnp.zeros(3)
@@ -957,14 +963,14 @@ class SlamSystem:
                     self.gravity, self.cam_params, self.R_cb, self.t_cb,
                     cam.bf, window=10,
                     lm_cap=self.cfg.capacity.max_local_landmarks,
-                    iters=2, cam_model=self.cam_model,
+                    iters=2, cam_model=self.cam_model, rig=self.rig,
                 )
             else:
                 self.ms = tracking.local_ba_step(
                     self.ms, jnp.int32(self._lba_center), self.cam_params,
                     cam.bf, window=min(8, self.cfg.capacity.max_local_kfs),
                     lm_cap=self.cfg.capacity.max_local_landmarks,
-                    iters=2, cam_model=self.cam_model,
+                    iters=2, cam_model=self.cam_model, rig=self.rig,
                 )
         self._lba_chunks_left -= 1
 
@@ -992,11 +998,12 @@ class SlamSystem:
                     self.ms, self.ikf = inertial.full_inertial_ba(
                         self.ms, self.ikf, self.gravity, self.cam_params,
                         self.R_cb, self.t_cb, self.cfg.camera.bf,
-                        iters=2, cam_model=self.cam_model,
+                        iters=2, cam_model=self.cam_model, rig=self.rig,
                     )
                 else:
                     self.ms = self.loop_closer.gba_chunk(
-                        self.ms, self.cam_params, self.cfg.camera.bf
+                        self.ms, self.cam_params, self.cfg.camera.bf,
+                        cam_model=self.cam_model, rig=self.rig,
                     )
             self._gba_chunks_left -= 1
 
@@ -1381,7 +1388,7 @@ class SlamSystem:
                     self.R_cb, self.t_cb, cam.bf,
                     prior_bg_info=jnp.float32(1e2),
                     prior_ba_info=jnp.float32(1e5),
-                    iters=6, cam_model=self.cam_model,
+                    iters=6, cam_model=self.cam_model, rig=self.rig,
                 )
             elif self.n_kf >= 2:
                 # before IMU init the solve must converge before the init
@@ -1391,7 +1398,7 @@ class SlamSystem:
                     self.ms, jnp.int32(self.n_kf - 1), self.cam_params, cam.bf,
                     window=min(8, self.cfg.capacity.max_local_kfs),
                     lm_cap=self.cfg.capacity.max_local_landmarks,
-                    cam_model=self.cam_model,
+                    cam_model=self.cam_model, rig=self.rig,
                 )
                 self.ms = tracking.cull_landmarks(self.ms)
         else:

@@ -90,6 +90,7 @@ def track_frame(
     track_cap: int = 4096,
     prior=None,
     cam_model: str = "pinhole",
+    rig=None,
 ) -> TrackResult:
     """Two-stage project→match→optimize. One fused device program.
 
@@ -157,6 +158,8 @@ def track_frame(
             cam_params, bf,
             rounds=rounds, iters=iters,
             prior=prior, cam_model=cam_model,
+            uv_r=None if rig is None else frame.uv_r[feat],
+            rig=rig,
         )
         return opt, res, vis
 
@@ -421,6 +424,7 @@ def full_fisheye_step(
     tr = track_frame.__wrapped__(
         ms, frame, R_pred, t_pred, cam_params, 0.0, w, h, scale, n_levels,
         prior=prior, cam_model="kannala_brandt8",
+        rig=(R_rl, t_rl, cam_params_r),
     )
     return _finish_step(ms, frame, tr, R_last, t_last, vel_R, vel_t,
                         min_inliers)
@@ -520,6 +524,9 @@ def make_keyframe(
         kf_angle=ms.kf_angle.at[kf_idx].set(frame.angle),
         kf_desc=ms.kf_desc.at[kf_idx].set(frame.desc_packed),
         kf_ur=ms.kf_ur.at[kf_idx].set(frame.u_right),
+        kf_uvr=ms.kf_uvr.at[kf_idx].set(
+            -jnp.ones((N, 2)) if frame.uv_r is None else frame.uv_r
+        ),
         kf_feat_valid=ms.kf_feat_valid.at[kf_idx].set(frame.valid),
         obs_lm=ms.obs_lm.at[kf_idx].set(feat_lm),
     )
@@ -540,6 +547,7 @@ def local_ba_step(
     iters: int = 8,
     scale: float = 1.2,
     cam_model: str = "pinhole",
+    rig=None,
 ) -> msx.MapState:
     """Covisibility-window local BA with landmark compaction.
 
@@ -598,6 +606,22 @@ def local_ba_step(
         inv_sigma2=inv_s2.reshape(-1),
         valid=obs_valid.reshape(-1),
     )
+    if rig is not None:
+        # rig right-camera rows: one extra mono residual per matched
+        # feature through the extrinsic (OptimizableTypes.h ToBody edges)
+        uvr = ms.kf_uvr[win].reshape(-1, 2)
+        n_obs = obs.n
+        obs = factors.Observations(
+            kf=jnp.tile(obs.kf, 2),
+            lm=jnp.tile(obs.lm, 2),
+            uv=jnp.concatenate([obs.uv, uvr]),
+            u_right=-jnp.ones((2 * n_obs,), jnp.float32),
+            inv_sigma2=jnp.tile(obs.inv_sigma2, 2),
+            valid=jnp.concatenate([obs.valid, obs.valid & (uvr[:, 0] >= 0)]),
+            cam=jnp.concatenate([
+                jnp.zeros((n_obs,), jnp.int32), jnp.ones((n_obs,), jnp.int32)
+            ]),
+        )
     res = ba.bundle_adjust(
         ms.kf_R_cw[win],
         ms.kf_t_cw[win],
@@ -609,6 +633,7 @@ def local_ba_step(
         bf,
         iters=iters,
         cam_model=cam_model,
+        rig=rig,
     )
 
     # ---- scatter back ----------------------------------------------------
@@ -632,9 +657,13 @@ def local_ba_step(
     #     (an obs-less keyframe floats free and corrupts later windows).
     delta2 = jnp.where(obs.u_right >= 0, 7.815, 5.991)
     egregious = obs.valid & (res.chi2 > 4.0 * delta2)
+    if rig is not None:
+        # drop decisions are per left-frame feature slot; a wild right-row
+        # alone is not grounds to erase the (left) observation
+        egregious = egregious[: window * N]
     egregious2d = egregious.reshape(window, N)
     would_keep = jnp.sum(
-        (obs.valid.reshape(window, N) & ~egregious2d), axis=1
+        (obs.valid[: window * N].reshape(window, N) & ~egregious2d), axis=1
     )
     allow_drop = (would_keep >= 30)[:, None]
     new_rows = jnp.where(egregious2d & allow_drop, -1, obs_rows)
@@ -806,13 +835,28 @@ def triangulate_with_neighbor(
 
 @jax.jit
 def cull_landmarks(ms: msx.MapState) -> msx.MapState:
-    """Found-ratio culling (LocalMapping::MapPointCulling semantics).
+    """Found-ratio culling (LocalMapping::MapPointCulling semantics) plus
+    orphan collection.
+
+    Orphans: a landmark with ZERO surviving keyframe observations — its
+    observers were all culled/evicted — can never be optimized or culled
+    by the ratio test again, so it would leak its pool slot forever (the
+    reference deletes such points when the last observation is erased,
+    ``MapPoint::EraseObservation`` → ``SetBadFlag``, ``MapPoint.cc:219``).
+    Over a long sequence with keyframe churn this leak saturated the
+    landmark pool (~16k slots in ~95 s) and starved new-landmark spawning,
+    collapsing tracking — found in the 3000-frame lifecycle run.
 
     Observation rows pointing at a culled landmark are cleared too: the
     freed slot is recycled by the next allocation, and a stale obs entry
     would silently alias the new landmark."""
     ratio = ms.lm_found / jnp.maximum(ms.lm_visible, 1)
     bad = ms.lm_valid & (ms.lm_visible >= 4) & (ratio < 0.25)
+    obs_ok = (ms.obs_lm >= 0) & ms.kf_feat_valid & ms.kf_valid[:, None]
+    n_obs = jnp.zeros((ms.L,), jnp.int32).at[jnp.clip(ms.obs_lm, 0)].add(
+        obs_ok.astype(jnp.int32), mode="drop"
+    )
+    bad = bad | (ms.lm_valid & (n_obs == 0))
     stale = bad[jnp.clip(ms.obs_lm, 0)] & (ms.obs_lm >= 0)
     return ms._replace(
         lm_valid=ms.lm_valid & ~bad,
