@@ -110,9 +110,15 @@ def sim3_ransac_reproj(
     chi2_th: float = 9.21,
     fix_scale: bool = True,
     refine_iters: int = 8,
+    cam_model: str = "pinhole",
 ) -> RansacResult:
     """Sim3 RANSAC with REPROJECTION inlier gating in both cameras, plus a
     Gauss-Newton reprojection refine of the winning hypothesis.
+
+    cam_model selects the projection for the pixel gate: "pinhole" or
+    "kannala_brandt8" (fisheye loop verification previously fell back to a
+    scale-dependent 0.12 m metric gate — the KB8 projection is exact and
+    gauge-free).
 
     Mirrors ``Sim3Solver::CheckInliers`` (project each side's points
     through the hypothesis into the OTHER keyframe's camera and gate the
@@ -126,18 +132,20 @@ def sim3_ransac_reproj(
     (R_cw, t_cw) of the two keyframes. The estimated warp maps
     current-map coordinates into loop-side coordinates: dst ≈ s·R·src + t.
     """
-    fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+    from orb_slam3_detailed_comments_kor_tpu.models import camera as cam_mod
+
     Ra, ta = pose_a
     Rb, tb = pose_b
     M = src.shape[0]
 
+    def cam_project(pc):
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        pc_safe = pc.at[:, 2].set(z)
+        return cam_mod.project(cam_params, pc_safe, cam_model)
+
     def project(R_cw, t_cw, P):
         pc = P @ R_cw.T + t_cw
-        z = jnp.maximum(pc[:, 2], 1e-6)
-        return (
-            jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1),
-            pc[:, 2] > 1e-3,
-        )
+        return cam_project(pc), pc[:, 2] > 1e-3
 
     def reproj_inliers(R, t, s):
         # forward: current points into the loop keyframe's camera
@@ -177,18 +185,10 @@ def sim3_ransac_reproj(
         s_ = s0 * jnp.exp(lam if not fix_scale else 0.0 * lam)
         t_ = dR @ t0 + rho
         Xb_hat = s_ * (src @ R_.T) + t_
-        pcb = Xb_hat @ Rb.T + tb
-        zb = jnp.maximum(pcb[:, 2], 1e-6)
-        pb = jnp.stack(
-            [fx * pcb[:, 0] / zb + cx, fy * pcb[:, 1] / zb + cy], -1
-        )
+        pb = cam_project(Xb_hat @ Rb.T + tb)
         si = 1.0 / jnp.maximum(s_, 1e-9)
         Xa_hat = si * ((dst - t_) @ R_)
-        pca = Xa_hat @ Ra.T + ta
-        za = jnp.maximum(pca[:, 2], 1e-6)
-        pa = jnp.stack(
-            [fx * pca[:, 0] / za + cx, fy * pca[:, 1] / za + cy], -1
-        )
+        pa = cam_project(Xa_hat @ Ra.T + ta)
         wb = (inl / jnp.maximum(sigma2_b, 1e-6))[:, None]
         wa = (inl / jnp.maximum(sigma2_a, 1e-6))[:, None]
         return jnp.concatenate(

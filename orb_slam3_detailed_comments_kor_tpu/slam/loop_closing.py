@@ -197,7 +197,8 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def verify(self, ms: msx.MapState, kf_idx: int, cand: int, key,
-               fix_scale: bool = True, cam_params=None):
+               fix_scale: bool = True, cam_params=None,
+               cam_model: str = "pinhole"):
         """Geometric verification: descriptor match + Sim3 RANSAC gated by
         REPROJECTION error in both keyframes' cameras, followed by a
         Gauss-Newton reprojection refine (``Sim3Solver::CheckInliers`` +
@@ -218,7 +219,7 @@ class LoopCloser:
         else:
             n_inl, R, t, s = _verify_core_reproj(
                 ms, jnp.int32(kf_idx), jnp.int32(cand), key, cam_params,
-                fix_scale,
+                fix_scale, cam_model,
             )
         ok = int(n_inl) >= self.min_inliers
         return ok, R, t, s
@@ -383,9 +384,9 @@ def _verify_core(kf_desc, kf_feat_valid, obs_lm, lm_pos, kf_idx, cand, key,
     return rr.n_inliers, rr.R, rr.t, rr.s
 
 
-@functools.partial(jax.jit, static_argnames=("fix_scale",))
+@functools.partial(jax.jit, static_argnames=("fix_scale", "cam_model"))
 def _verify_core_reproj(ms: msx.MapState, kf_idx, cand, key, cam_params,
-                        fix_scale: bool = True):
+                        fix_scale: bool = True, cam_model: str = "pinhole"):
     """Reprojection-gated geometric verification (production path)."""
     da = orb_ops.unpack_descriptors(ms.kf_desc[kf_idx])
     db = orb_ops.unpack_descriptors(ms.kf_desc[cand])
@@ -407,6 +408,7 @@ def _verify_core_reproj(ms: msx.MapState, kf_idx, cand, key, cam_params,
         (ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx]),
         (ms.kf_R_cw[cand], ms.kf_t_cw[cand]),
         cam_params, pair_ok, key, n_hyp=192, fix_scale=fix_scale,
+        cam_model=cam_model,
     )
     return rr.n_inliers, rr.R, rr.t, rr.s
 

@@ -1645,9 +1645,10 @@ class SlamSystem:
             mode, gravity = "sim3", None
         else:
             mode, gravity = "se3", None
-        # reprojection-pixel gating needs the pinhole projection; fisheye
-        # maps keep the (scale-dependent) 3-D gate — their maps are metric
-        cam_for_gate = self.cam_params if self.cam_model == "pinhole" else None
+        # reprojection-pixel gating through the map's own camera model —
+        # KB8 fisheye included (the metric 3-D fallback was scale-dependent
+        # and tuned in metres; pixels are gauge-free for every model)
+        cam_for_gate = self.cam_params
         candidates = [cand] + [
             c for c in getattr(self.loop_closer, "_alternates", [])
             if c >= 0
@@ -1657,7 +1658,7 @@ class SlamSystem:
             self._loop_key, sub = _jax.random.split(self._loop_key)
             ok, R_d, t_d, s_d = self.loop_closer.verify(
                 self.ms, kf_idx, c, sub, fix_scale=(mode != "sim3"),
-                cam_params=cam_for_gate,
+                cam_params=cam_for_gate, cam_model=self.cam_model,
             )
             if ok:
                 cand = c

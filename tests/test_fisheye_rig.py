@@ -170,3 +170,43 @@ class TestRigInMap:
 
         rmse = ate.ate_rmse(centers, ts[: len(centers)])
         assert rmse < 0.05, f"metric ATE {rmse*1000:.1f}mm"
+
+
+class TestKB8LoopGate:
+    def test_sim3_ransac_reproj_kb8(self):
+        """Loop verification's Sim3 RANSAC with the KB8 pixel gate must
+        recover a known SE3 drift from fisheye observations (replaces the
+        scale-dependent 0.12 m metric gate, Sim3Solver::CheckInliers)."""
+        import jax
+
+        from orb_slam3_detailed_comments_kor_tpu.ops import ransac
+
+        rng = np.random.default_rng(3)
+        m = 128
+        X_true = jnp.asarray(
+            rng.uniform([-2, -2, 2.5], [2, 2, 6.0], (m, 3)), jnp.float32
+        )
+        # drift warp: correct ≈ R_d @ drifted + t_d  (dst = warp(src))
+        R_d = lie.so3_exp(jnp.array([0.0, 0.04, 0.0]))
+        t_d = jnp.array([0.3, -0.1, 0.05])
+        X_drift = (X_true - t_d) @ R_d  # src: current drifted map points
+        # keyframe a observes the drifted points, keyframe b the true ones
+        Ra, ta = jnp.eye(3), jnp.array([0.0, 0.0, 0.5])
+        Rb, tb = lie.so3_exp(jnp.array([0.02, -0.01, 0.0])), jnp.zeros(3)
+        uv_a = camera.kb8_project(PARAMS, X_drift @ Ra.T + ta)
+        uv_b = camera.kb8_project(PARAMS, X_true @ Rb.T + tb)
+        # 20% outlier correspondences
+        out = jnp.asarray(rng.random(m) < 0.2)
+        uv_b = jnp.where(
+            out[:, None], uv_b + jnp.asarray(rng.normal(0, 40, (m, 2)),
+                                             jnp.float32), uv_b
+        )
+        s2 = jnp.ones((m,))
+        rr = ransac.sim3_ransac_reproj(
+            X_drift, X_true, uv_a, uv_b, s2, s2, (Ra, ta), (Rb, tb),
+            PARAMS, jnp.ones((m,), bool), jax.random.PRNGKey(0),
+            n_hyp=192, fix_scale=True, cam_model="kannala_brandt8",
+        )
+        assert int(rr.n_inliers) > 0.6 * m, int(rr.n_inliers)
+        assert float(jnp.linalg.norm(rr.t - t_d)) < 0.02
+        assert float(jnp.linalg.norm(lie.so3_log(rr.R @ R_d.T))) < 0.01
