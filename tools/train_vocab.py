@@ -1,11 +1,12 @@
-"""Pretrain the default BoW vocabulary asset (k=10, depth=4 → 10k words).
+"""Pretrain the default BoW vocabulary asset (k=10, depth=5 → 100k words).
 
 The reference ships a ~1M-word DBoW2 vocabulary trained on Flickr images
 (stripped from the repo). With zero egress, the corpus here is varied
 SYNTHETIC imagery: the lattice-textured scene from many viewpoints/scales
-plus procedural texture images (multi-octave value noise, checkers,
-gradients) for descriptor diversity. 10k words discriminate maps of ≤512
-keyframes comfortably (the reference's 1M words serve city-scale corpora).
+plus procedural texture images (value noise, checkers, polygons, dot
+grids, warped checkers) for descriptor diversity. 100k words measurably
+separate a 512-place held-out database (models/VOCAB_EVAL.md; the
+reference's 1M words serve city-scale corpora).
 
 Run on CPU:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
              PYTHONPATH=/root/repo python tools/train_vocab.py
@@ -26,7 +27,7 @@ from orb_slam3_detailed_comments_kor_tpu.ops import orb as orb_ops
 from orb_slam3_detailed_comments_kor_tpu.utils import lie
 
 H, W, FX = 240, 376, 230.0
-K_BRANCH, DEPTH = 10, 4
+K_BRANCH, DEPTH = 10, 5
 
 
 def value_noise(rng, h, w, octaves=4):
@@ -57,6 +58,52 @@ def checker(rng, h, w):
     return img
 
 
+def polygons(rng, h, w):
+    """Random filled convex quads + line segments (man-made-structure
+    proxy: corners at many orientations/contrasts)."""
+    img = 60.0 + 20.0 * rng.rand(h, w).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(rng.randint(8, 20)):
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        n_v = 4
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_v))
+        rad = rng.uniform(8, 45, n_v)
+        val = rng.uniform(0, 255)
+        inside = np.ones((h, w), bool)
+        for i in range(n_v):
+            y0, x0 = cy + rad[i] * np.sin(ang[i]), cx + rad[i] * np.cos(ang[i])
+            j = (i + 1) % n_v
+            y1, x1 = cy + rad[j] * np.sin(ang[j]), cx + rad[j] * np.cos(ang[j])
+            inside &= ((x1 - x0) * (yy - y0) - (y1 - y0) * (xx - x0)) <= 0
+        img = np.where(inside, 0.7 * val + 0.3 * img, img)
+    return np.clip(img, 0, 255)
+
+
+def dot_grid(rng, h, w):
+    """Jittered dot lattices at random pitch/size (texture-detail proxy)."""
+    img = 200.0 * rng.rand(h, w).astype(np.float32) * 0.15 + 30
+    pitch = rng.randint(10, 30)
+    r = rng.uniform(2, pitch * 0.35)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    oy, ox = rng.uniform(0, pitch, 2)
+    dy = np.abs(((yy + oy) % pitch) - pitch / 2)
+    dx = np.abs(((xx + ox) % pitch) - pitch / 2)
+    dots = (dy * dy + dx * dx) < r * r
+    return np.where(dots, rng.uniform(150, 255), img).astype(np.float32)
+
+
+def warp_checker(rng, h, w):
+    """Checkerboard under a smooth nonlinear warp (curved-surface proxy)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    a = rng.uniform(0.01, 0.05, 2)
+    f = rng.uniform(0.02, 0.08, 2)
+    u = xx + 25 * np.sin(f[0] * yy + rng.uniform(0, 6))
+    v = yy + 25 * np.sin(f[1] * xx + rng.uniform(0, 6))
+    sy, sx = rng.randint(10, 30), rng.randint(10, 30)
+    img = 255.0 * ((np.floor(v / sy) + np.floor(u / sx)) % 2)
+    return (0.8 * img + 35 * rng.rand(h, w)).astype(np.float32)
+
+
 def main():
     rng = np.random.RandomState(42)
     params = jnp.array([FX, FX, W / 2.0, H / 2.0])
@@ -72,7 +119,7 @@ def main():
         return d
 
     # 1. scene views: orbit + strafe + scale changes
-    n_views = 60
+    n_views = 90
     for i in range(n_views):
         yaw = rng.uniform(-0.6, 0.6)
         pitch = rng.uniform(-0.25, 0.25)
@@ -90,9 +137,18 @@ def main():
         descs.append(d)
         print(f"view {i}: {len(d)} desc", flush=True)
 
-    # 2. procedural textures
-    for i in range(50):
-        img = value_noise(rng, H, W) if i % 2 == 0 else checker(rng, H, W)
+    # 2. procedural textures — 6 families (held-out eval families in
+    # tools/eval_vocab.py — gratings, blobs, Voronoi, grating products —
+    # stay DISJOINT from this list)
+    fams = [value_noise, checker, polygons, dot_grid, warp_checker]
+    for i in range(150):
+        img = fams[i % len(fams)](rng, H, W)
+        # photometric augmentation: gain/bias jitter so the tree sees the
+        # same structures under different exposures
+        if i % 3 == 2:
+            img = np.clip(
+                rng.uniform(0.6, 1.4) * img + rng.uniform(-25, 25), 0, 255
+            )
         d = extract(img)
         descs.append(d)
         print(f"tex {i}: {len(d)} desc", flush=True)
