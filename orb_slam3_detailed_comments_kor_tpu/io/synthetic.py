@@ -135,6 +135,16 @@ def default_scene() -> Scene:
     )
 
 
+def corridor_scene() -> Scene:
+    """Box room stretched along x (side walls at ±40): a long corridor so
+    an out-and-back trajectory traverses metres of NON-repeating texture —
+    keyframes from the far end share no content with the start, which is
+    what forces capacity-pressure reclamation before the return leg closes
+    the loop (the VERDICT r2 #1/#9 scenario)."""
+    s = default_scene()
+    return s._replace(ds=s.ds.at[4].set(40.0).at[5].set(40.0))
+
+
 def wall_scene() -> Scene:
     """Single wall at z=5 (kept for targeted degenerate-geometry tests)."""
     s = default_scene()
@@ -291,6 +301,13 @@ class AnalyticTrajectory:
         omega_b = lie.vee(R.T @ dR)
         return acc_b, omega_b
 
+    def _rebind_pos(self, pos):
+        """Swap the position law, rewiring autodiff derivatives (velocity,
+        specific force) so the synthetic IMU stays exact."""
+        self._pos = pos
+        self._vel = jax.jacfwd(pos)
+        self._acc = jax.jacfwd(self._vel)
+
     def imu_batch(self, t0: float, t1: float, rate: float, max_n: int,
                   noise_g: float = 0.0, noise_a: float = 0.0, key=None):
         """ImuBatch of measurements covering (t0, t1] at `rate` Hz, padded to
@@ -311,6 +328,30 @@ class AnalyticTrajectory:
             acc=accs, gyro=gyros,
             dt=jnp.where(valid, dt, 0.0), valid=valid,
         )
+
+
+class CorridorTrajectory(AnalyticTrajectory):
+    """Out-and-back corridor pass layered on the excited sinusoid base:
+    x(t) += length · sin²(π·t / duration) — departs the start, reaches
+    ``length`` metres of fresh texture at t = duration/2, and returns.
+    Early keyframes leave covisibility on the way out (capacity pressure
+    must reclaim slots from the middle of the corridor), and the return
+    leg can only re-localize the drift through PLACE RECOGNITION against
+    the protected start-anchor keyframes — the reclamation→loop-closure
+    interaction scenario (VERDICT r2 #1/#9; reference
+    ``LocalMapping.cc:1194`` keyframe culling vs ``LoopClosing`` anchors).
+    """
+
+    def __init__(self, length: float = 12.0, duration: float = 150.0, **kw):
+        super().__init__(**kw)
+        base_pos = self._pos
+        ex = jnp.array([1.0, 0.0, 0.0])
+
+        def pos(t):
+            s = jnp.sin(jnp.pi * t / duration) ** 2
+            return base_pos(t) + ex * (length * s)
+
+        self._rebind_pos(pos)
 
 
 def stereo_pair(

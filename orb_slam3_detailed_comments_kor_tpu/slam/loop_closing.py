@@ -66,6 +66,16 @@ class LoopCloser:
         # next keyframe's work — loop closing is asynchronous in the
         # reference too, LoopClosing.cc:315)
         self._pending_detect = None
+        # live Sim3/SE3 loop hypothesis carried across keyframes:
+        # (cand, R, t, s, n_confirm, n_fail) — the
+        # DetectAndReffineSim3FromLastKF state (nLoopNumCoincidences /
+        # mg2oLoopSlw, ``src/LoopClosing.cc:410-470``)
+        self._hyp = None
+        #: projection matches required per hypothesis confirmation
+        #: (reference nProjMatches floor, LoopClosing.cc:439)
+        self.min_proj_matches = 25
+        #: geometric confirmations (verify + refinements) to accept
+        self.confirmations_needed = 3
     # ------------------------------------------------------------------
     def add_keyframe(self, kf_idx: int, desc_bits, valid) -> None:
         """Register a keyframe in the BoW database (KeyFrameDatabase::add)."""
@@ -120,6 +130,7 @@ class LoopCloser:
         self._pending_detect = None
         self._consecutive = 0
         self._last_cand = -1
+        self._hyp = None
 
     # ------------------------------------------------------------------
     def detect(self, ms: msx.MapState, kf_idx: int, n_kf: int) -> int:
@@ -196,6 +207,39 @@ class LoopCloser:
         return -1
 
     # ------------------------------------------------------------------
+    def start_hypothesis(self, cand: int, R, t, s) -> None:
+        """Seed the cross-keyframe hypothesis from a successful geometric
+        verification whose BoW streak is still short."""
+        self._hyp = (cand, R, t, s, 1, 0)
+
+    def hypothesis_step(self, ms: msx.MapState, kf_idx: int, cam_params,
+                        cam_model: str = "pinhole",
+                        fix_scale: bool = True):
+        """Refine the live hypothesis against keyframe ``kf_idx``.
+
+        Returns (accepted, cand, R, t, s): accepted=True once
+        ``confirmations_needed`` geometric confirmations accumulated.
+        One fused dispatch + one scalar pull per call.
+        """
+        cand, R, t, s, n_conf, n_fail = self._hyp
+        n_inl, R2, t2, s2 = _refine_hyp_core(
+            ms, jnp.int32(kf_idx), jnp.int32(cand), R, t, s, cam_params,
+            fix_scale=fix_scale, cam_model=cam_model,
+        )
+        if int(n_inl) >= self.min_proj_matches:
+            n_conf += 1
+            if n_conf >= self.confirmations_needed:
+                self._hyp = None
+                return True, cand, R2, t2, s2
+            self._hyp = (cand, R2, t2, s2, n_conf, 0)
+        else:
+            n_fail += 1
+            # two consecutive projection failures kill the hypothesis
+            # (the reference decrements and drops, LoopClosing.cc:464)
+            self._hyp = None if n_fail >= 2 else (cand, R, t, s,
+                                                  n_conf, n_fail)
+        return False, cand, R, t, s
+
     def verify(self, ms: msx.MapState, kf_idx: int, cand: int, key,
                fix_scale: bool = True, cam_params=None,
                cam_model: str = "pinhole"):
@@ -256,9 +300,11 @@ class LoopCloser:
             mode,
         )
         self.n_loops_closed += 1
-        # reset consistency tracking
+        # reset consistency tracking + any live hypothesis (the map the
+        # hypothesis was expressed in just moved under it)
         self._consecutive = 0
         self._last_cand = -1
+        self._hyp = None
         if ikf is None:
             return ms
         # rotate each keyframe's stored world-frame velocity by its own
@@ -411,6 +457,82 @@ def _verify_core_reproj(ms: msx.MapState, kf_idx, cand, key, cam_params,
         cam_model=cam_model,
     )
     return rr.n_inliers, rr.R, rr.t, rr.s
+
+
+@functools.partial(jax.jit, static_argnames=("fix_scale", "cam_model"))
+def _refine_hyp_core(ms: msx.MapState, kf_idx, cand, R, t, s, cam_params,
+                     fix_scale: bool = True, cam_model: str = "pinhole"):
+    """Project-and-refine an existing loop hypothesis against a NEW
+    keyframe (``LoopClosing::DetectAndReffineSim3FromLastKF``,
+    ``src/LoopClosing.cc:410-470``): instead of restarting BoW detection,
+    the loop side's landmarks are projected through the propagated warp
+    into the new keyframe, matched by projection, and the warp is
+    Gauss-Newton-refined on the matches. Returns (n_inliers, R', t', s').
+
+    Warp convention matches ``verify``: X_corrected ≈ s·R·X_current + t
+    (world→world), so loop-side points map into the current (drifted)
+    frame through the inverse warp.
+    """
+    from orb_slam3_detailed_comments_kor_tpu.models import camera as cam_mod
+
+    lm_b = ms.obs_lm[cand]
+    ok_b = ms.kf_feat_valid[cand] & (lm_b >= 0)
+    lm_ids = jnp.clip(lm_b, 0)
+    X_loop = ms.lm_pos[lm_ids]
+    ok_b = ok_b & ms.lm_valid[lm_ids]
+    Rk, tk = ms.kf_R_cw[kf_idx], ms.kf_t_cw[kf_idx]
+    s2_feat = 1.2 ** (2.0 * ms.kf_level[kf_idx].astype(jnp.float32))
+
+    def project_cur(R_, t_, s_):
+        si = 1.0 / jnp.maximum(s_, 1e-9)
+        X_cur = si * ((X_loop - t_) @ R_)
+        pc = X_cur @ Rk.T + tk
+        return cam_mod.project(cam_params, pc, cam_model), pc[:, 2]
+
+    uv0, z0 = project_cur(R, t, s)
+    vis = ok_b & (z0 > 0.05)
+    res = matching.search_by_projection(
+        uv0, ms.kf_level[cand], orb_ops.unpack_descriptors(ms.lm_desc[lm_ids]),
+        vis,
+        ms.kf_xy[kf_idx], ms.kf_level[kf_idx],
+        orb_ops.unpack_descriptors(ms.kf_desc[kf_idx]),
+        ms.kf_feat_valid[kf_idx],
+        radius=8.0, max_dist=60,
+    )
+    feat = jnp.clip(res.idx, 0)
+    uv_obs = ms.kf_xy[kf_idx, feat]
+    w_m = res.valid.astype(jnp.float32) / jnp.maximum(s2_feat[feat], 1e-6)
+
+    def residuals(params, R0, t0, s0):
+        phi, rho, lam = params[:3], params[3:6], params[6]
+        dR = lie.so3_exp(phi)
+        R_ = dR @ R0
+        t_ = dR @ t0 + rho
+        s_ = s0 * jnp.exp(jnp.where(fix_scale, 0.0 * lam, lam))
+        uv, _ = project_cur(R_, t_, s_)
+        return ((uv - uv_obs) * jnp.sqrt(w_m)[:, None]).reshape(-1)
+
+    def gn_step(carry, _):
+        R_, t_, s_ = carry
+        f = lambda p: residuals(p, R_, t_, s_)
+        p0 = jnp.zeros((7,))
+        r0 = f(p0)
+        J = jax.jacfwd(f)(p0)
+        H = J.T @ J + 1e-6 * jnp.eye(7)
+        dx = -jnp.linalg.solve(H, J.T @ r0)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        dR = lie.so3_exp(dx[:3])
+        return (
+            dR @ R_, dR @ t_ + dx[3:6],
+            s_ * jnp.exp(jnp.where(fix_scale, 0.0, dx[6])),
+        ), None
+
+    (R, t, s), _ = jax.lax.scan(gn_step, (R, t, s), None, length=6)
+    R = lie.project_to_so3(R)
+    uv1, z1 = project_cur(R, t, s)
+    chi2 = jnp.sum((uv1 - uv_obs) ** 2, -1) / jnp.maximum(s2_feat[feat], 1e-6)
+    inl = res.valid & (chi2 < 9.21) & (z1 > 0.05)
+    return jnp.sum(inl), R, t, s
 
 
 # capacity of strong-covisibility edges in the essential graph; the

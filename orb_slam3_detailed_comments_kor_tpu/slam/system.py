@@ -1543,7 +1543,16 @@ class SlamSystem:
             # large loop needed it (``LoopClosing.cc`` closes against the
             # oldest keyframes).
             cov = np.asarray(msx.covisibility_weights(self.ms, jnp.arange(K)))
-            evict = select_eviction_slots(cov, protect, self.n_kf, n_evict=5)
+            # never evict the ACTIVE local window: slots covisible with the
+            # newest keyframe still support tracking, and (since landmarks
+            # orphaned by eviction are garbage-collected) evicting them
+            # deletes the very landmarks the tracker is matching against —
+            # the densest cluster is often exactly the freshly-mapped
+            # region, so density alone is not a safe eviction signal
+            protect_live = protect | (cov[max(self.n_kf - 1, 0)] >= 15)
+            evict = select_eviction_slots(
+                cov, protect_live, self.n_kf, n_evict=5
+            )
             self.stats["kf_evicted"] += int(evict.sum())
             ms = self.ms._replace(
                 kf_valid=self.ms.kf_valid & ~jnp.asarray(evict),
@@ -1634,8 +1643,6 @@ class SlamSystem:
             kf_idx, cand = self.loop_closer.detect_async(
                 self.ms, self.n_kf - 1, self.n_kf
             )
-        if cand < 0:
-            return
         # essential-graph parametrization per sensor mode
         # (LoopClosing.cc:1239-1245): inertial → 4-DoF (gravity stays
         # observable); mono → Sim3 (scale drift); stereo/RGB-D → SE3
@@ -1649,20 +1656,53 @@ class SlamSystem:
         # KB8 fisheye included (the metric 3-D fallback was scale-dependent
         # and tuned in metres; pixels are gauge-free for every model)
         cam_for_gate = self.cam_params
-        candidates = [cand] + [
-            c for c in getattr(self.loop_closer, "_alternates", [])
-            if c >= 0
-        ][:2]
+        lc = self.loop_closer
         ok = False
-        for c in candidates:
-            self._loop_key, sub = _jax.random.split(self._loop_key)
-            ok, R_d, t_d, s_d = self.loop_closer.verify(
-                self.ms, kf_idx, c, sub, fix_scale=(mode != "sim3"),
-                cam_params=cam_for_gate, cam_model=self.cam_model,
-            )
-            if ok:
-                cand = c
-                break
+        if cand < 0:
+            # ---- Sim3 hypothesis tracking across keyframes ----------------
+            # (DetectAndReffineSim3FromLastKF, ``LoopClosing.cc:410-470``):
+            # a marginal loop whose BoW streak breaks is carried forward by
+            # PROJECTING the loop side through the propagated warp into each
+            # new keyframe and GN-refining; enough geometric confirmations
+            # accept the loop without ever re-passing the BoW gate.
+            if lc._hyp is not None:
+                acc, c_h, R_d, t_d, s_d = lc.hypothesis_step(
+                    self.ms, self.n_kf - 1, cam_for_gate,
+                    cam_model=self.cam_model, fix_scale=(mode != "sim3"),
+                )
+                if not acc:
+                    return
+                kf_idx, cand, ok = self.n_kf - 1, c_h, True
+            elif (kf_idx >= 0 and lc._consecutive == 1
+                  and lc._last_cand >= 0):
+                # fresh unconfirmed BoW hit: try to SEED a hypothesis with
+                # a full geometric verification (the reference verifies
+                # candidates immediately, without a pure-BoW streak)
+                self._loop_key, sub = _jax.random.split(self._loop_key)
+                ok_seed, R_s, t_s, s_s = lc.verify(
+                    self.ms, kf_idx, lc._last_cand, sub,
+                    fix_scale=(mode != "sim3"),
+                    cam_params=cam_for_gate, cam_model=self.cam_model,
+                )
+                if ok_seed:
+                    lc.start_hypothesis(lc._last_cand, R_s, t_s, s_s)
+                return
+            else:
+                return
+        if not ok:
+            candidates = [cand] + [
+                c for c in getattr(self.loop_closer, "_alternates", [])
+                if c >= 0
+            ][:2]
+            for c in candidates:
+                self._loop_key, sub = _jax.random.split(self._loop_key)
+                ok, R_d, t_d, s_d = self.loop_closer.verify(
+                    self.ms, kf_idx, c, sub, fix_scale=(mode != "sim3"),
+                    cam_params=cam_for_gate, cam_model=self.cam_model,
+                )
+                if ok:
+                    cand = c
+                    break
         if not ok:
             return
         R_kf_old = self.ms.kf_R_cw[kf_idx]

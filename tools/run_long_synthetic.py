@@ -17,7 +17,15 @@ frame through the remote TPU tunnel); per-frame rendering stays in the loop
 tracking-rate measurement the same way the reference's dataset loader is
 excluded from its per-frame timings.
 
-Run (TPU): python tools/run_long_synthetic.py [n_frames] [out_prefix]
+Two trajectories (EUROC_RESULTS.md):
+- ``loop``     — the excited sinusoid (continuous revisit: lifecycle under
+                 steady covisibility, MH01-length);
+- ``corridor`` — 12 m out-and-back through non-repeating texture: early
+                 keyframes leave covisibility, capacity pressure reclaims
+                 mid-corridor slots, and the return leg must close the loop
+                 against the protected start anchors (VERDICT r2 #1/#9).
+
+Run (TPU): python tools/run_long_synthetic.py [n_frames] [out_prefix] [traj]
 """
 
 import json
@@ -60,7 +68,7 @@ def precompute_gt_and_imu(traj, n_frames):
     )
 
 
-def main(n_frames=3000, out_prefix="/tmp/long_synth"):
+def main(n_frames=3000, out_prefix="/tmp/long_synth", traj_kind="loop"):
     cfg = SLAMConfig(
         sensor=SensorType.IMU_STEREO,
         camera=CameraConfig(
@@ -76,10 +84,16 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth"):
     )
     slam = SlamSystem(cfg)
     params = jnp.array([FX, FX, W / 2.0, H / 2.0])
-    scene = synthetic.default_scene()
-    # slow figure-eight-ish excitation so the camera keeps revisiting the
-    # scene over 150 s (AnalyticTrajectory loops with period ~20 s)
-    traj = synthetic.AnalyticTrajectory()
+    if traj_kind == "corridor":
+        scene = synthetic.corridor_scene()
+        traj = synthetic.CorridorTrajectory(
+            length=12.0, duration=n_frames / FPS
+        )
+    else:
+        scene = synthetic.default_scene()
+        # slow figure-eight-ish excitation so the camera keeps revisiting
+        # the scene over 150 s (AnalyticTrajectory loops with period ~20 s)
+        traj = synthetic.AnalyticTrajectory()
     R_all, p_all, acc_all, gyro_all, t_end, spf = precompute_gt_and_imu(
         traj, n_frames
     )
@@ -100,8 +114,13 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth"):
         else:
             samples = []
         tt = time.time()
+        prev_state = slam.state
         slam.track_stereo_inertial(il, ir, t, samples)
         track_s += time.time() - tt
+        if slam.state != prev_state:
+            print(f"  state {prev_state}->{slam.state} at frame {i} "
+                  f"(t={t:.1f}s kf={slam.n_kf} "
+                  f"inl={slam.inliers_at_last_kf})", flush=True)
         if centers0 is None and slam.state == 1:
             centers0 = -np.asarray(slam.R_cw).T @ np.asarray(slam.t_cw)
         if (i + 1) % 100 == 0:
@@ -127,6 +146,7 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth"):
     rmse_full = float(ate.ate_rmse(centers[:n], gt[:n]))
     rmse_tail = float(ate.ate_rmse(centers[n - 1000:n], gt[n - 1000:n]))
     result = {
+        "trajectory": traj_kind,
         "n_frames": n_frames,
         "duration_s": n_frames / FPS,
         "wall_s": round(wall, 1),
@@ -138,6 +158,7 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth"):
         "n_kf": slam.n_kf,
         "imu_initialized": bool(slam.imu_initialized),
         "n_loops_closed": slam.loop_closer.n_loops_closed,
+        "stats": dict(slam.stats),
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(result))
@@ -149,4 +170,5 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 3000,
         sys.argv[2] if len(sys.argv) > 2 else "/tmp/long_synth",
+        sys.argv[3] if len(sys.argv) > 3 else "loop",
     )
