@@ -310,7 +310,7 @@ def full_inertial_ba(
     fixed_kf = ~ms.kf_valid | (jnp.arange(K) == 0)
     fixed_point = ~ms.lm_valid
 
-    st_f, X_f, _ = vi_ba.vi_bundle_adjust_cg(
+    st_f, X_f, costs = vi_ba.vi_bundle_adjust_cg(
         st, ms.lm_pos, obs, edges, fixed_kf, fixed_point, cam_params,
         R_cb, t_cb, bf, gravity,
         gyro_walk_info=vi_ba.WALK_INFO_CAP,
@@ -334,7 +334,7 @@ def full_inertial_ba(
         bg=jnp.where(upd[:, None], st_f.bg, ikf.bg),
         ba=jnp.where(upd[:, None], st_f.ba, ikf.ba),
     )
-    return ms, ikf
+    return ms, ikf, costs[-1]
 
 
 @functools.partial(jax.jit, static_argnames=("window", "lm_cap", "iters",

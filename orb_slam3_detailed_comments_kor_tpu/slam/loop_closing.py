@@ -322,7 +322,8 @@ class LoopCloser:
                    cam_model: str = "pinhole", rig=None):
         """Full-map BA (GlobalBundleAdjustemnt analog), matrix-free PCG
         Schur — scales to K×L far beyond the dense coupling."""
-        return global_ba(ms, cam_params, bf, cam_model=cam_model, rig=rig)
+        ms, _ = global_ba(ms, cam_params, bf, cam_model=cam_model, rig=rig)
+        return ms
 
     def gba_chunk(self, ms: msx.MapState, cam_params, bf: float,
                   cam_model: str = "pinhole", rig=None):
@@ -335,7 +336,7 @@ class LoopCloser:
         one slice, not the whole solve. Routes through the device mesh
         when more than one device is available."""
         return global_ba(ms, cam_params, bf, iters=2, cam_model=cam_model,
-                         rig=rig)
+                         rig=rig)  # -> (ms, cost-or-None)
 
 
 # fused per-keyframe device programs, module-level so the jit cache is
@@ -643,7 +644,7 @@ def _correct_core(
         lm_max_dist=ms.lm_max_dist / s_a,
     )
     if run_gba:
-        ms = _global_ba_core(ms, cam_params, bf)
+        ms, _ = _global_ba_core(ms, cam_params, bf)
     return ms, dR_w, s_new  # (run_gba callers are pinhole-only tests)
 
 
@@ -693,7 +694,9 @@ def _global_ba_core(ms: msx.MapState, cam_params, bf, iters: int = 8,
         fixed_pose, fixed_point, cam_params, bf, iters=iters, cg_iters=24,
         cam_model=cam_model, rig=rig,
     )
-    return ms._replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw, lm_pos=res.X)
+    cost = jnp.sum(res.chi2 * obs.valid)
+    return ms._replace(kf_R_cw=res.R_cw, kf_t_cw=res.t_cw,
+                       lm_pos=res.X), cost
 
 
 _GBA_MESH = None
@@ -719,6 +722,6 @@ def global_ba(ms: msx.MapState, cam_params, bf, iters: int = 8,
             fixed_pose, fixed_point, cam_params, jnp.float32(bf),
             iters=iters, cg_iters=24, cam_model=cam_model, rig=rig,
         )
-        return ms._replace(kf_R_cw=R, kf_t_cw=t, lm_pos=X)
+        return ms._replace(kf_R_cw=R, kf_t_cw=t, lm_pos=X), None
     return _global_ba_core(ms, cam_params, jnp.float32(bf), iters=iters,
                            cam_model=cam_model, rig=rig)

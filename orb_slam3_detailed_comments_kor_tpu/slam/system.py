@@ -40,7 +40,8 @@ class TrackingState:
     LOST = 3
 
 
-def select_eviction_slots(cov, protect, n_kf: int, n_evict: int = 5):
+def select_eviction_slots(cov, protect, n_kf: int, n_evict: int = 5,
+                          protect_soft=None):
     """Covisibility-aware last-resort eviction (host-side, [K] arrays).
 
     Scores each unprotected slot by how strongly its temporal neighbours
@@ -49,28 +50,51 @@ def select_eviction_slots(cov, protect, n_kf: int, n_evict: int = 5):
     (what a large loop closes against, ``src/LoopClosing.cc:991``) score
     low and survive. Greedy pick; a chosen slot disqualifies its immediate
     neighbours so no region is hollowed out. Returns evict mask [K] bool.
+
+    ``protect`` is HARD (anchor slot 0, the newest keyframes, inertial
+    chain constraints — never evicted); ``protect_soft`` is advisory (the
+    live tracking window) and is waived when honouring it would leave
+    nothing to evict — capacity pressure must always free at least one
+    slot, or keyframe insertion silently freezes. A previous version
+    treated both alike and, with everything protected (a dwell phase makes
+    the whole small map covisible with the newest KF), np.argmax over the
+    all(-1) score array returned slot 0 — evicting the anchor every
+    reclaim and silently degrading the map to a sliding window.
     """
     K = cov.shape[0]
-    score = np.full((K,), -1.0)
-    for i in range(1, n_kf - 1):
-        if not protect[i]:
-            score[i] = float(cov[i - 1, i + 1])
-    evict = np.zeros((K,), bool)
-    floor = -1.0
-    for _ in range(n_evict):
-        j = int(score.argmax())
-        if score[j] < floor:
-            break
-        evict[j] = True
-        # once the densest pick is known, later picks must be in its
-        # league — filling the quota from sparse regions would drain the
-        # anchors the quota exists to protect (evicting fewer is fine)
-        floor = max(0.0, 0.1 * score[j]) if floor < 0.0 else floor
-        score[max(j - 1, 0)] = -1.0
-        score[j] = -1.0
-        score[min(j + 1, K - 1)] = -1.0
-    if not evict.any():  # everything protected: oldest fallback
-        evict[1:1 + n_evict] = True
+
+    def greedy(mask):
+        score = np.full((K,), -1.0)
+        for i in range(1, n_kf - 1):
+            if not mask[i]:
+                score[i] = float(cov[i - 1, i + 1])
+        picked = np.zeros((K,), bool)
+        floor = 0.0
+        for _ in range(n_evict):
+            j = int(score.argmax())
+            if score[j] < floor:  # only real (unprotected) scores pass
+                break
+            picked[j] = True
+            # once the densest pick is known, later picks must be in its
+            # league — filling the quota from sparse regions would drain
+            # the anchors the quota exists to protect (fewer is fine)
+            floor = max(floor, 0.1 * score[j])
+            score[max(j - 1, 0)] = -1.0
+            score[j] = -1.0
+            score[min(j + 1, K - 1)] = -1.0
+        return picked
+
+    hard = np.asarray(protect, bool)
+    soft = hard if protect_soft is None else (hard | np.asarray(
+        protect_soft, bool))
+    evict = greedy(soft)
+    if not evict.any():
+        evict = greedy(hard)
+    if not evict.any():  # everything hard-protected: oldest non-anchor
+        for i in range(1, n_kf):
+            if not hard[i]:
+                evict[i] = True
+                break
     return evict
 
 
@@ -933,6 +957,8 @@ class SlamSystem:
 
     #: remaining bounded GBA slices after a loop correction
     _gba_chunks_left = 0
+    _gba_chunks_run = 0
+    _gba_prev_cost = None
     #: remaining bounded local-BA slices for the newest keyframe
     _lba_chunks_left = 0
     _lba_center = -1
@@ -995,17 +1021,44 @@ class SlamSystem:
                 if self.cfg.is_inertial and self.imu_initialized:
                     from orb_slam3_detailed_comments_kor_tpu.slam import inertial
 
-                    self.ms, self.ikf = inertial.full_inertial_ba(
+                    self.ms, self.ikf, cost = inertial.full_inertial_ba(
                         self.ms, self.ikf, self.gravity, self.cam_params,
                         self.R_cb, self.t_cb, self.cfg.camera.bf,
                         iters=2, cam_model=self.cam_model, rig=self.rig,
                     )
                 else:
-                    self.ms = self.loop_closer.gba_chunk(
+                    self.ms, cost = self.loop_closer.gba_chunk(
                         self.ms, self.cam_params, self.cfg.camera.bf,
                         cam_model=self.cam_model, rig=self.rig,
                     )
             self._gba_chunks_left -= 1
+            self._gba_chunks_run += 1
+            self._adapt_gba_budget(cost)
+
+    # GBA convergence control (weak #5): the fixed 4-chunk budget neither
+    # stops a converged solve nor extends a big one. Each chunk returns its
+    # final chi² sum; converged → cancel the remaining chunks, still moving
+    # on the last scheduled chunk → extend (bounded). The reference's
+    # background GBA simply runs to its iteration cap (LoopClosing.cc:2286)
+    # — chi² budgeting is the chunked-slice analog of "until converged".
+    _GBA_CHUNKS_MAX = 12
+    _GBA_REL_TOL = 1e-3
+
+    def _adapt_gba_budget(self, cost) -> None:
+        if cost is None:  # distributed path reports no scalar (avoids sync)
+            return
+        cost = float(cost)  # one scalar pull per chunk, loop-rate not frame-rate
+        prev = self._gba_prev_cost
+        self._gba_prev_cost = cost
+        if prev is None or prev <= 0.0:
+            return
+        rel = (prev - cost) / prev
+        if rel < self._GBA_REL_TOL:
+            self._gba_chunks_left = 0  # converged (or oscillating): stop
+        elif (self._gba_chunks_left == 0
+              and self._gba_chunks_run < self._GBA_CHUNKS_MAX
+              and rel > 0.02):
+            self._gba_chunks_left = 2  # still descending: extend the solve
 
     def _track_with_frame(
         self, frame: frontend.Frame, t: float, override_pred=None
@@ -1383,7 +1436,7 @@ class SlamSystem:
                 # (``LocalMapping.cc:1712-1720`` → FullInertialBA with
                 # priorG=1e2, priorA=1e5, ``Optimizer.cc:397``) — snaps the
                 # visual-only map onto the IMU-consistent trajectory
-                self.ms, self.ikf = inertial.full_inertial_ba(
+                self.ms, self.ikf, _ = inertial.full_inertial_ba(
                     self.ms, self.ikf, self.gravity, self.cam_params,
                     self.R_cb, self.t_cb, cam.bf,
                     prior_bg_info=jnp.float32(1e2),
@@ -1549,9 +1602,10 @@ class SlamSystem:
             # deletes the very landmarks the tracker is matching against —
             # the densest cluster is often exactly the freshly-mapped
             # region, so density alone is not a safe eviction signal
-            protect_live = protect | (cov[max(self.n_kf - 1, 0)] >= 15)
+            protect_live = cov[max(self.n_kf - 1, 0)] >= 15
             evict = select_eviction_slots(
-                cov, protect_live, self.n_kf, n_evict=5
+                cov, protect, self.n_kf, n_evict=5,
+                protect_soft=protect_live,
             )
             self.stats["kf_evicted"] += int(evict.sum())
             ms = self.ms._replace(
@@ -1726,6 +1780,8 @@ class SlamSystem:
         # the chunked analog of the reference's background GBA thread
         # (``LoopClosing.cc:1269``; abort point ``mbStopGBA``)
         self._gba_chunks_left = 4
+        self._gba_chunks_run = 0
+        self._gba_prev_cost = None
         # SearchAndFuse (``LoopClosing.cc:2126``): after correction the two
         # loop sides overlap — landmarks born on the current side that now
         # coincide with loop-side ones are duplicates and must merge, or

@@ -131,14 +131,14 @@ class TestFullInertialBAOnMap:
         ikf0, ms0 = slam.ikf, slam.ms
 
         # (a) visual-only GBA (what rounds 1-2 ran on inertial maps)
-        slam.ms = loop_closing._global_ba_core(
+        slam.ms, _ = loop_closing._global_ba_core(
             ms_drift, slam.cam_params, jnp.float32(slam.cfg.camera.bf),
         )
         r_vis = _inertial_residual_norm(slam)
 
         # (b) FullInertialBA
         slam.ms = ms_drift
-        slam.ms, slam.ikf = inertial.full_inertial_ba(
+        slam.ms, slam.ikf, _ = inertial.full_inertial_ba(
             slam.ms, slam.ikf, slam.gravity, slam.cam_params,
             slam.R_cb, slam.t_cb, slam.cfg.camera.bf, iters=8,
         )
@@ -151,7 +151,7 @@ class TestFullInertialBAOnMap:
     def test_full_iba_improves_visual_geometry_too(self, drifted):
         slam, ms_drift = drifted
         ikf0, ms0 = slam.ikf, slam.ms
-        ms_f, _ = inertial.full_inertial_ba(
+        ms_f, _, _ = inertial.full_inertial_ba(
             ms_drift, slam.ikf, slam.gravity, slam.cam_params,
             slam.R_cb, slam.t_cb, slam.cfg.camera.bf, iters=8,
         )

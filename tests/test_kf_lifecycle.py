@@ -163,6 +163,41 @@ class TestCovisibilityAwareEviction:
         assert not evict[:6].any(), np.nonzero(evict)[0]
         assert set(np.nonzero(evict)[0]) <= set(range(6, 10))
 
+    def test_all_soft_protected_never_evicts_anchor(self):
+        """Unit: when the whole map is soft-protected (dwell phase — every
+        slot covisible with the newest KF), the selector waives the soft
+        mask instead of evicting slot 0. Regression: np.argmax over an
+        all(-1) score array returned 0, silently evicting the t=0 anchor
+        at EVERY reclaim and degrading the map to a sliding window."""
+        from orb_slam3_detailed_comments_kor_tpu.slam.system import (
+            select_eviction_slots,
+        )
+
+        K, n_kf = 12, 10
+        cov = np.full((K, K), 40)
+        np.fill_diagonal(cov, 0)
+        hard = np.zeros((K,), bool)
+        hard[0] = True
+        hard[6:10] = True  # the newest few
+        soft = np.ones((K,), bool)  # everything in the live window
+        evict = select_eviction_slots(cov, hard, n_kf, n_evict=5,
+                                      protect_soft=soft)
+        assert evict.any()            # capacity pressure must free a slot
+        assert not evict[0]           # the anchor survives
+        assert not evict[hard].any()  # hard protection is absolute
+
+    def test_all_hard_protected_falls_back_to_oldest_non_anchor(self):
+        from orb_slam3_detailed_comments_kor_tpu.slam.system import (
+            select_eviction_slots,
+        )
+
+        K, n_kf = 8, 6
+        cov = np.zeros((K, K))
+        hard = np.ones((K,), bool)
+        hard[3] = False  # a single unprotected slot, zero covisibility
+        evict = select_eviction_slots(cov, hard, n_kf, n_evict=5)
+        assert list(np.nonzero(evict)[0]) == [3]
+
     def test_pressure_and_return_still_tracks(self):
         """Out-and-back with K=12 under sustained capacity pressure, loop
         closing ON: the system keeps inserting, and the return pass still
