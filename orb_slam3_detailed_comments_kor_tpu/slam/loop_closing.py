@@ -76,6 +76,13 @@ class LoopCloser:
         self.min_proj_matches = 25
         #: geometric confirmations (verify + refinements) to accept
         self.confirmations_needed = 3
+        #: keyframes to ignore detection after a closure — the reference
+        #: refuses new loops until mnLastLoopKFid+10 (``LoopClosing.cc:455``:
+        #: right after a correction the residual mismatch still verifies
+        #: geometrically, and re-applying a correction derived from it
+        #: compounds instead of fixing). A countdown (not an id) so slot
+        #: compaction can't invalidate it.
+        self._cooldown = 0
     # ------------------------------------------------------------------
     def add_keyframe(self, kf_idx: int, desc_bits, valid) -> None:
         """Register a keyframe in the BoW database (KeyFrameDatabase::add)."""
@@ -182,6 +189,11 @@ class LoopCloser:
         detection fires once ≥``consistency_needed`` consecutive keyframes
         agreed on (nearly) the same place (``LoopClosing.cc:447,502``);
         the alternates keep a near-miss from resetting the streak."""
+        if self._cooldown > 0:
+            self._cooldown -= 1
+            self._consecutive = 0
+            self._last_cand = -1
+            return -1
         cs = np.atleast_2d(np.asarray(cs))
         cands = [int(c) for c, s in cs if s >= self.min_score and c >= 0]
         if not cands:
@@ -300,11 +312,14 @@ class LoopCloser:
             mode,
         )
         self.n_loops_closed += 1
+        self.last_closure = (int(kf_idx), int(cand))  # forensics/logging
         # reset consistency tracking + any live hypothesis (the map the
-        # hypothesis was expressed in just moved under it)
+        # hypothesis was expressed in just moved under it), and hold
+        # detection down for the next keyframes (mnLastLoopKFid+10)
         self._consecutive = 0
         self._last_cand = -1
         self._hyp = None
+        self._cooldown = 10
         if ikf is None:
             return ms
         # rotate each keyframe's stored world-frame velocity by its own

@@ -336,6 +336,21 @@ def merge_into_shelved(
         kf_t_cw=ms.kf_t_cw.at[:n_total].set(t_pg),
     )
 
+    # welding-window BA (MergeBundleAdjustmentVisual, ``Optimizer.cc:5296``):
+    # the pose-graph weld aligns the chains rigidly, but the seam region —
+    # where the two maps' landmarks were just fused — carries the residual
+    # misalignment. A covisibility-window BA centred on the welding keyframe
+    # pulls in both sides (fusion made them covisible) and distributes the
+    # error; the rest of both maps stays untouched, like the reference's
+    # outside-fixed welding optimization.
+    from orb_slam3_detailed_comments_kor_tpu.slam import tracking
+
+    ms = tracking.local_ba_step(
+        ms, jnp.int32(kf_cur_new), slam.cam_params, slam.cfg.camera.bf,
+        window=12, lm_cap=slam.cfg.capacity.max_local_landmarks,
+        iters=4, cam_model=slam.cam_model, rig=slam.rig,
+    )
+
     # --- install as the active map ---------------------------------------
     # current camera pose moves with its map: T_cw' = T_cw ∘ D⁻¹
     Rd_i, td_i = lie.se3_inverse(R_d, t_d)
@@ -411,6 +426,19 @@ def merge_into_shelved(
         slam.imu_initialized = (
             shelf.get("imu_initialized", False) or slam.imu_initialized
         )
+        if slam.imu_initialized:
+            # MergeInertialBA analog (``Optimizer.cc:6029``): after the
+            # inertial weld the seam's preintegration chain and the
+            # visual-only welding BA above disagree slightly — a bounded
+            # whole-map VI BA (reprojection + inertial edges + bias RW)
+            # restores IMU consistency across the seam
+            from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+            slam.ms, slam.ikf, _ = inertial.full_inertial_ba(
+                slam.ms, slam.ikf, slam.gravity, slam.cam_params,
+                slam.R_cb, slam.t_cb, slam.cfg.camera.bf,
+                iters=2, cam_model=slam.cam_model, rig=slam.rig,
+            )
 
     # Re-anchor trajectory records. Relative records survive a rigid map
     # transform unchanged (T_f T_kf⁻¹ is D-invariant); the young map's KF

@@ -115,12 +115,22 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth", traj_kind="loop"):
             samples = []
         tt = time.time()
         prev_state = slam.state
+        prev_loops = slam.loop_closer.n_loops_closed
         slam.track_stereo_inertial(il, ir, t, samples)
         track_s += time.time() - tt
         if slam.state != prev_state:
             print(f"  state {prev_state}->{slam.state} at frame {i} "
                   f"(t={t:.1f}s kf={slam.n_kf} "
                   f"inl={slam.inliers_at_last_kf})", flush=True)
+        if slam.loop_closer.n_loops_closed != prev_loops:
+            c = -np.asarray(slam.R_cw).T @ np.asarray(slam.t_cw)
+            err = (float(np.linalg.norm((c - centers0) -
+                                        (p_all[i] - p_all[0])))
+                   if centers0 is not None else -1.0)
+            print(f"  LOOP #{slam.loop_closer.n_loops_closed} closed at "
+                  f"frame {i} (t={t:.1f}s kf={slam.n_kf} "
+                  f"ends={getattr(slam.loop_closer, 'last_closure', None)} "
+                  f"err_after={err:.3f})", flush=True)
         if centers0 is None and slam.state == 1:
             centers0 = -np.asarray(slam.R_cw).T @ np.asarray(slam.t_cw)
         if (i + 1) % 100 == 0:
