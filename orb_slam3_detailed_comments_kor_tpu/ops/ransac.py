@@ -218,6 +218,86 @@ def sim3_ransac_reproj(
     return RansacResult(R=R, t=t, s=s, inliers=inl, n_inliers=jnp.sum(inl))
 
 
+def mlpnp_refine(
+    X: jnp.ndarray,
+    uv: jnp.ndarray,
+    w: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    iters: int = 6,
+    sigma_px: float = 1.0,
+):
+    """Maximum-likelihood PnP polish (MLPnP formulation — reference
+    ``src/MLPnPsolver.cpp``, Urban et al. 2016).
+
+    Residuals live in the 2-D tangent (null) space of each observed bearing
+    vector and are weighted by the bearing covariance propagated from pixel
+    noise: e_i = N_iᵀ·normalize(R·X_i + t), with N_i = [r_i s_i] an
+    orthonormal basis of v_i^⊥ and W_i = (N_iᵀ Σ_v N_i)⁻¹. Compared to
+    pixel-reprojection GN this weights observations by their true angular
+    information — wide-angle and far-field points are no longer distorted
+    by the planar projection metric. Pure batched GN on se(3): one jitted
+    program, no per-point host work.
+
+    X [M,3] world points, uv [M,2] pixels, w [M] inlier weights (0/1 or
+    soft), R0/t0 the RANSAC pose to polish. Returns (R, t).
+    """
+    fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+    # observed bearings + d(bearing)/d(pixel) for covariance propagation
+    m = jnp.stack(
+        [(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy, jnp.ones_like(uv[:, 0])],
+        axis=-1,
+    )  # [M,3] unnormalized
+    norm_m = jnp.linalg.norm(m, axis=-1, keepdims=True)
+    v = m / norm_m  # observed unit bearings
+    # tangent basis of v^⊥: seed with the axis least aligned with v
+    seed = jnp.where(
+        (jnp.abs(v[:, 0]) < 0.9)[:, None],
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), v.shape),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), v.shape),
+    )
+    r_b = jnp.cross(v, seed)
+    r_b = r_b / jnp.linalg.norm(r_b, axis=-1, keepdims=True)
+    s_b = jnp.cross(v, r_b)
+    N = jnp.stack([r_b, s_b], axis=-1)  # [M,3,2]
+
+    # Σ_v = J_px Σ_px J_pxᵀ with J_px = d v/d uv = P_v · diag(1/fx,1/fy)/|m|,
+    # P_v = (I - v vᵀ) the normalization projector
+    P_v = jnp.eye(3)[None] - jnp.einsum("mi,mj->mij", v, v)
+    J_px = (
+        P_v[:, :, :2]
+        * jnp.array([1.0, 1.0])[None, None, :]
+        / jnp.stack([fx * norm_m[:, 0], fy * norm_m[:, 0]], -1)[:, None, :]
+    )  # [M,3,2]
+    sigma_v = (sigma_px ** 2) * jnp.einsum("mik,mjk->mij", J_px, J_px)
+    E = jnp.einsum("mki,mkl,mlj->mij", N, sigma_v, N)  # [M,2,2]
+    W = jnp.linalg.inv(E + 1e-12 * jnp.eye(2)[None])   # ML information
+
+    def body(_, carry):
+        R, t = carry
+        p = X @ R.T + t
+        nrm = jnp.linalg.norm(p, axis=-1, keepdims=True)
+        n = p / jnp.maximum(nrm, 1e-9)
+        e = jnp.einsum("mij,mi->mj", N, n)  # [M,2] tangent residuals
+        # d n/d p = (I - n nᵀ)/|p| ; d p/d ξ = [I | -hat(p)]
+        Pn = (jnp.eye(3)[None] - jnp.einsum("mi,mj->mij", n, n)) / jnp.maximum(
+            nrm[:, :, None], 1e-9
+        )
+        dp = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3), (X.shape[0], 3, 3)), -lie.hat(p)],
+            axis=-1,
+        )  # [M,3,6]
+        J = jnp.einsum("mij,mik,mkl->mjl", N, Pn, dp)  # [M,2,6]
+        H = jnp.einsum("mij,mik,mkl,m->jl", J, W, J, w) + 1e-6 * jnp.eye(6)
+        b = -jnp.einsum("mij,mik,mk,m->j", J, W, e, w)
+        dx = jnp.linalg.solve(H, b)
+        dR, dt = lie.se3_exp(dx)
+        return dR @ R, dR @ t + dt
+
+    return jax.lax.fori_loop(0, iters, body, (R0, t0))
+
+
 def pnp_ransac(
     X: jnp.ndarray,
     uv: jnp.ndarray,
@@ -296,6 +376,17 @@ def pnp_ransac(
     R, t = gn_refine(
         Rs[best], ts[best], X, uv, inls[best].astype(jnp.float32),
         refine_iters,
+    )
+    pred = project(R, t, X)
+    err = jnp.linalg.norm(uv - pred, axis=-1)
+    depth_ok = (X @ R.T + t)[:, 2] > 0.01
+    inl = (err < inlier_px) & valid & depth_ok
+    # ML polish over the consensus set (MLPnP tangent-space formulation,
+    # ``src/MLPnPsolver.cpp`` — the reference refines its RANSAC pose the
+    # same way); weighting by true angular information sharpens the pose
+    # when inliers span a wide field of view or depth range
+    R, t = mlpnp_refine(
+        X, uv, inl.astype(jnp.float32), cam_params, R, t, iters=4
     )
     pred = project(R, t, X)
     err = jnp.linalg.norm(uv - pred, axis=-1)

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from orb_slam3_detailed_comments_kor_tpu.models import camera
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
 
 KEY = jax.random.PRNGKey(1)
 PINHOLE = jnp.array([458.654, 457.296, 367.215, 248.375])
@@ -105,3 +106,56 @@ def test_frontend_keypoint_undistortion():
     )
     # the shift is real (distortion actually moved the points)
     assert np.abs(np.asarray(f_und.xy - f_raw.xy)[v]).max() > 1.0
+
+
+class TestMLPnP:
+    """mlpnp_refine: tangent-space ML polish (MLPnPsolver parity)."""
+
+    def _scene(self, seed=0, n=160, noise_px=0.6):
+        rng = np.random.default_rng(seed)
+        X = rng.uniform([-4, -3, 2.0], [4, 3, 30.0], (n, 3))
+        R_true = np.asarray(lie.so3_exp(jnp.array([0.05, -0.1, 0.03])))
+        t_true = np.array([0.3, -0.2, 0.5])
+        cam = jnp.array([458.0, 458.0, 376.0, 240.0])
+        pc = X @ R_true.T + t_true
+        uv = np.stack(
+            [458.0 * pc[:, 0] / pc[:, 2] + 376.0,
+             458.0 * pc[:, 1] / pc[:, 2] + 240.0], -1
+        ) + rng.normal(0, noise_px, (n, 2))
+        return X, uv, cam, R_true, t_true
+
+    def test_refine_recovers_pose_from_perturbed_init(self):
+        from orb_slam3_detailed_comments_kor_tpu.ops import ransac
+
+        X, uv, cam, R_true, t_true = self._scene()
+        dR = np.asarray(lie.so3_exp(jnp.array([0.02, 0.015, -0.01])))
+        R0 = jnp.asarray(dR @ R_true)
+        t0 = jnp.asarray(t_true + np.array([0.05, -0.04, 0.08]))
+        w = jnp.ones((X.shape[0],))
+        R, t = ransac.mlpnp_refine(
+            jnp.asarray(X, jnp.float32), jnp.asarray(uv, jnp.float32),
+            w, cam, R0, t0, iters=8,
+        )
+        rot_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(R) @ R_true.T) - 1) / 2, -1, 1)))
+        assert rot_err < 0.05, rot_err
+        assert np.linalg.norm(np.asarray(t) - t_true) < 0.02
+
+    def test_pnp_ransac_with_ml_polish_beats_tolerance(self):
+        from orb_slam3_detailed_comments_kor_tpu.ops import ransac
+
+        X, uv, cam, R_true, t_true = self._scene(seed=3)
+        # 20% outliers
+        rng = np.random.default_rng(4)
+        out = rng.random(X.shape[0]) < 0.2
+        uv = np.where(out[:, None], rng.uniform(0, 700, uv.shape), uv)
+        key = jax.random.PRNGKey(0)
+        R, t, inl, n = ransac.pnp_ransac(
+            jnp.asarray(X, jnp.float32), jnp.asarray(uv, jnp.float32),
+            jnp.ones((X.shape[0],), bool), cam, key,
+        )
+        assert int(n) > 0.7 * (~out).sum()
+        rot_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(R) @ R_true.T) - 1) / 2, -1, 1)))
+        assert rot_err < 0.1, rot_err
+        assert np.linalg.norm(np.asarray(t) - t_true) < 0.05
