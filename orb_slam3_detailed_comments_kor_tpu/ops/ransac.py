@@ -147,7 +147,17 @@ def sim3_ransac_reproj(
         pc = P @ R_cw.T + t_cw
         return cam_project(pc), pc[:, 2] > 1e-3
 
-    def reproj_inliers(R, t, s):
+    # The matched pairs are two INDEPENDENT landmark entries for the same
+    # physical point (duplicates across the loop), not two projections of
+    # one entry like the reference's CheckInliers — their relative error
+    # carries triangulation noise + accumulated map drift on top of the
+    # pixel noise. Hypothesis SELECTION therefore uses a loosened gate
+    # (4x chi2, i.e. 2x pixels) so a minimal-sample fit on the true
+    # cluster captures the whole drift-spread cluster; the FINAL inlier
+    # count after GN refinement uses the strict per-feature gate. With the
+    # strict gate at both stages, true-cluster fits fragmented while tight
+    # aliased clusters scored full marks and occasionally won RANSAC.
+    def reproj_inliers(R, t, s, th=chi2_th):
         # forward: current points into the loop keyframe's camera
         Xb_hat = s * (src @ R.T) + t
         pb, okb = project(Rb, tb, Xb_hat)
@@ -157,7 +167,9 @@ def sim3_ransac_reproj(
         Xa_hat = si * ((dst - t) @ R)
         pa, oka = project(Ra, ta, Xa_hat)
         ea = jnp.sum((pa - uv_a) ** 2, -1) / jnp.maximum(sigma2_a, 1e-6)
-        return (eb < chi2_th) & (ea < chi2_th) & oka & okb & valid
+        return (eb < th) & (ea < th) & oka & okb & valid
+
+    chi2_sel = 4.0 * chi2_th
 
     probs = valid.astype(jnp.float32)
     probs = probs / jnp.maximum(probs.sum(), 1e-9)
@@ -166,13 +178,29 @@ def sim3_ransac_reproj(
     def one(tri):
         w = jnp.zeros((M,)).at[tri].set(1.0) * valid
         R, t, s = horn_align(src, dst, w, fix_scale)
-        inl = reproj_inliers(R, t, s)
+        inl = reproj_inliers(R, t, s, chi2_sel)
         return R, t, s, jnp.sum(inl)
 
     Rs, ts, ss, counts = jax.vmap(one)(idx)
+    # Identity null hypothesis, always in the candidate set: when the two
+    # sides ALREADY agree (an IMU-tight map revisiting a consistent
+    # region), the honest answer is "no correction". Without it, a
+    # minimal-sample fit on an aliased/degenerate match cluster can win
+    # argmax outright — observed once in a 3000-frame run: a 0.63 m warp
+    # passed both reprojection gates on a map whose true internal
+    # inconsistency was 0.03 m, and the closure injected 0.6 m of error.
+    # Ties break toward identity (argmax picks the first index).
+    R_id = jnp.eye(3)
+    t_id = jnp.zeros((3,))
+    s_id = jnp.float32(1.0)
+    n_id = jnp.sum(reproj_inliers(R_id, t_id, s_id, chi2_sel))
+    Rs = jnp.concatenate([R_id[None], Rs])
+    ts = jnp.concatenate([t_id[None], ts])
+    ss = jnp.concatenate([s_id[None], ss])
+    counts = jnp.concatenate([n_id[None], counts])
     best = jnp.argmax(counts)
     R, t, s = Rs[best], ts[best], ss[best]
-    inl = reproj_inliers(R, t, s)
+    inl = reproj_inliers(R, t, s, chi2_sel)
 
     # Horn refit on inliers, then Gauss-Newton on both-direction
     # reprojection residuals over (φ, ρ, λ) — OptimizeSim3's objective

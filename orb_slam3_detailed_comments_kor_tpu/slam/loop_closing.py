@@ -312,7 +312,12 @@ class LoopCloser:
             mode,
         )
         self.n_loops_closed += 1
-        self.last_closure = (int(kf_idx), int(cand))  # forensics/logging
+        # forensics/logging: closure ends + delta magnitude (rot deg, m)
+        ang = float(jnp.degrees(jnp.arccos(jnp.clip(
+            (jnp.trace(R_delta) - 1.0) / 2.0, -1.0, 1.0))))
+        self.last_closure = (int(kf_idx), int(cand), round(ang, 2),
+                             round(float(jnp.linalg.norm(t_delta)), 3),
+                             getattr(self, "_closure_src", "?"))
         # reset consistency tracking + any live hypothesis (the map the
         # hypothesis was expressed in just moved under it), and hold
         # detection down for the next keyframes (mnLastLoopKFid+10)

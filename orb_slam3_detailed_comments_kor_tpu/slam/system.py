@@ -1727,6 +1727,7 @@ class SlamSystem:
                 if not acc:
                     return
                 kf_idx, cand, ok = self.n_kf - 1, c_h, True
+                lc._closure_src = "hyp"
             elif (kf_idx >= 0 and lc._consecutive == 1
                   and lc._last_cand >= 0):
                 # fresh unconfirmed BoW hit: try to SEED a hypothesis with
@@ -1756,6 +1757,7 @@ class SlamSystem:
                 )
                 if ok:
                     cand = c
+                    lc._closure_src = "bow"
                     break
         if not ok:
             return

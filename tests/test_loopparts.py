@@ -171,3 +171,92 @@ class TestPoseGraph:
         end_after = float(jnp.linalg.norm(t_opt[19] - t_gt[19]))
         assert end_after < 0.3 * end_before, (end_before, end_after)
         assert err_after < err_before
+
+
+class TestIdentityNullHypothesis:
+    """sim3_ransac_reproj must prefer "no correction" over a tight aliased
+    cluster when the map is already consistent (regression: a 3-point fit
+    on 25 texture-aliased pairs beat the drift-spread true cluster and a
+    0.63 m warp corrupted a 3000-frame run whose real inconsistency was
+    0.03 m)."""
+
+    def _make(self, n_true=60, n_alias=25, drift=0.03, offset=0.5, seed=0):
+        rng = np.random.default_rng(seed)
+        fx = 458.0
+        cam = jnp.array([fx, fx, 376.0, 240.0])
+        # two keyframes looking at a wall ~3 m away, ~0.4 m apart
+        Ra = np.eye(3)
+        ta = np.zeros(3)
+        Rb = np.eye(3)
+        tb = np.array([0.4, 0.0, 0.0])
+        X = rng.uniform([-2, -1.5, 2.5], [2, 1.5, 4.0], (n_true + n_alias, 3))
+        # true pairs: same physical point, duplicate entries differ by the
+        # map's internal drift scatter
+        src = X.copy()
+        dst = X + rng.normal(0, drift / np.sqrt(3), X.shape)
+        # aliased pairs: dst is the NEXT texture cell over — exactly
+        # offset by a consistent world shift, zero scatter
+        dst[n_true:] = X[n_true:] + np.array([offset, 0.0, 0.0])
+
+        def proj(R, t, P):
+            pc = P @ R.T + t
+            return np.stack(
+                [fx * pc[:, 0] / pc[:, 2] + 376.0,
+                 fx * pc[:, 1] / pc[:, 2] + 240.0], -1)
+
+        # observed pixels come from each side's own entry (consistent with
+        # each keyframe's view of its own landmark)
+        uv_a = proj(Ra, ta, src)
+        uv_b = proj(Rb, tb, dst)
+        s2 = np.ones(n_true + n_alias)
+        return (jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32),
+                jnp.asarray(uv_a, jnp.float32), jnp.asarray(uv_b, jnp.float32),
+                jnp.asarray(s2), jnp.asarray(s2),
+                (jnp.asarray(Ra, jnp.float32), jnp.asarray(ta, jnp.float32)),
+                (jnp.asarray(Rb, jnp.float32), jnp.asarray(tb, jnp.float32)),
+                cam)
+
+    def test_consistent_map_yields_near_identity(self):
+        src, dst, uv_a, uv_b, s2a, s2b, pa, pb, cam = self._make()
+        valid = jnp.ones((src.shape[0],), bool)
+        for seed in range(4):
+            rr = ransac.sim3_ransac_reproj(
+                src, dst, uv_a, uv_b, s2a, s2b, pa, pb, cam, valid,
+                jax.random.PRNGKey(seed), n_hyp=192, fix_scale=True,
+            )
+            assert float(jnp.linalg.norm(rr.t)) < 0.1, (
+                seed, float(jnp.linalg.norm(rr.t)))
+
+    def test_genuine_drift_still_detected(self):
+        # a REAL 0.5 m inconsistency with matching observations must still
+        # be found (the null hypothesis must not suppress true loops)
+        rng = np.random.default_rng(7)
+        fx = 458.0
+        cam = jnp.array([fx, fx, 376.0, 240.0])
+        Ra, ta = np.eye(3), np.zeros(3)
+        Rb, tb = np.eye(3), np.array([0.4, 0.0, 0.0])
+        X = rng.uniform([-2, -1.5, 2.5], [2, 1.5, 4.0], (80, 3))
+        shift = np.array([0.5, 0.0, 0.1])
+        src = X
+        dst = X + shift + rng.normal(0, 0.01, X.shape)
+
+        def proj(R, t, P):
+            pc = P @ R.T + t
+            return np.stack(
+                [fx * pc[:, 0] / pc[:, 2] + 376.0,
+                 fx * pc[:, 1] / pc[:, 2] + 240.0], -1)
+
+        uv_a = proj(Ra, ta, src)
+        uv_b = proj(Rb, tb, dst)
+        s2 = jnp.ones(80)
+        rr = ransac.sim3_ransac_reproj(
+            jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32),
+            jnp.asarray(uv_a, jnp.float32), jnp.asarray(uv_b, jnp.float32),
+            s2, s2,
+            (jnp.asarray(Ra, jnp.float32), jnp.asarray(ta, jnp.float32)),
+            (jnp.asarray(Rb, jnp.float32), jnp.asarray(tb, jnp.float32)),
+            cam, jnp.ones((80,), bool), jax.random.PRNGKey(0),
+            n_hyp=192, fix_scale=True,
+        )
+        assert float(jnp.linalg.norm(np.asarray(rr.t) - shift)) < 0.1
+        assert int(rr.n_inliers) > 50

@@ -29,6 +29,7 @@ Run (TPU): python tools/run_long_synthetic.py [n_frames] [out_prefix] [traj]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -98,10 +99,33 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth", traj_kind="loop"):
         traj, n_frames
     )
     centers0 = None
+    # forensic checkpointing: LONG_CKPT_SAVE="frame:path" snapshots the
+    # full SLAM state at that frame; LONG_CKPT_LOAD="frame:path" skips
+    # tracking up to that frame and restores the snapshot instead —
+    # reproducing a late-sequence event costs seconds, not a full rerun
+    cksave = os.environ.get("LONG_CKPT_SAVE")
+    ckload = os.environ.get("LONG_CKPT_LOAD")
+    cksave = (int(cksave.split(":")[0]), cksave.split(":")[1]) if cksave else None
+    ckload = (int(ckload.split(":")[0]), ckload.split(":")[1]) if ckload else None
+    stop_at = int(os.environ.get("LONG_STOP_AT", n_frames))
     t0 = time.time()
     track_s = 0.0
     for i in range(n_frames):
         t = i / FPS
+        if i >= stop_at:
+            break
+        if ckload is not None:
+            if i < ckload[0]:
+                continue
+            if i == ckload[0]:
+                from orb_slam3_detailed_comments_kor_tpu.slam import checkpoint
+                checkpoint.load_map(slam, ckload[1])
+                print(f"  checkpoint loaded at frame {i}", flush=True)
+        if cksave is not None and i == cksave[0]:
+            from orb_slam3_detailed_comments_kor_tpu.slam import checkpoint
+            slam.flush_decisions()
+            checkpoint.save_map(slam, cksave[1])
+            print(f"  checkpoint saved at frame {i}", flush=True)
         il, ir, _ = synthetic.stereo_pair(
             params, jnp.asarray(R_all[i]), jnp.asarray(p_all[i]),
             BASELINE, scene, h=H, w=W,
