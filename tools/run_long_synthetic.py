@@ -110,6 +110,23 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth", traj_kind="loop"):
     stop_at = int(os.environ.get("LONG_STOP_AT", n_frames))
     t0 = time.time()
     track_s = 0.0
+    # chunked pre-rendering: rasterize CHUNK frames in one lax.map dispatch
+    # and pull them to host once, so the tracking-rate measurement is not
+    # serialized behind per-frame render dispatches on the same device
+    # (the reference's timings likewise exclude its dataset loader)
+    CHUNK = 50
+
+    @jax.jit
+    def render_chunk(Rs, ps):
+        def one(rp):
+            il, ir, _ = synthetic.stereo_pair(
+                params, rp[0], rp[1], BASELINE, scene, h=H, w=W
+            )
+            return il, ir
+        return jax.lax.map(one, (Rs, ps))
+
+    buf_l = buf_r = None
+    buf_base = -1
     for i in range(n_frames):
         t = i / FPS
         if i >= stop_at:
@@ -126,10 +143,16 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth", traj_kind="loop"):
             slam.flush_decisions()
             checkpoint.save_map(slam, cksave[1])
             print(f"  checkpoint saved at frame {i}", flush=True)
-        il, ir, _ = synthetic.stereo_pair(
-            params, jnp.asarray(R_all[i]), jnp.asarray(p_all[i]),
-            BASELINE, scene, h=H, w=W,
-        )
+        if buf_base < 0 or i >= buf_base + CHUNK:
+            buf_base = i
+            end = min(i + CHUNK, n_frames)
+            pad = CHUNK - (end - i)
+            Rs = np.concatenate([R_all[i:end], R_all[end - 1:end].repeat(pad, 0)])
+            ps = np.concatenate([p_all[i:end], p_all[end - 1:end].repeat(pad, 0)])
+            bl, br = render_chunk(jnp.asarray(Rs), jnp.asarray(ps))
+            buf_l, buf_r = np.asarray(bl), np.asarray(br)
+        il = jnp.asarray(buf_l[i - buf_base])
+        ir = jnp.asarray(buf_r[i - buf_base])
         if i > 0:
             samples = [
                 (float(t_end[i - 1, k]), acc_all[i - 1, k], gyro_all[i - 1, k])
