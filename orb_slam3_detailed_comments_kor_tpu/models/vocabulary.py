@@ -102,19 +102,33 @@ def train_vocabulary(
     )
 
 
+_DEFAULT_VOCAB_CACHE: "Vocabulary" = None
+
+
 def load_default() -> "Vocabulary":
     """Load the pretrained default vocabulary asset (the analog of the
-    reference's ORBvoc.txt load at startup, ``System.cc:82``)."""
+    reference's ORBvoc.txt load at startup, ``System.cc:82``).
+
+    Cached per process: the unpacked centroid array is ~114 MB on device,
+    and re-uploading it for every SlamSystem construction (bench builds
+    six, the Atlas builds one per map reset) stalled each new system's
+    first frame for >1 s behind the host→device transfer. The vocabulary
+    is immutable, so every consumer shares one device copy.
+    """
+    global _DEFAULT_VOCAB_CACHE
+    if _DEFAULT_VOCAB_CACHE is not None:
+        return _DEFAULT_VOCAB_CACHE
     import os
 
     path = os.path.join(os.path.dirname(__file__), "default_vocab.npz")
     z = np.load(path)
-    return Vocabulary(
+    _DEFAULT_VOCAB_CACHE = Vocabulary(
         centroids=jnp.asarray(z["centroids"].astype(np.float32)),
         k=int(z["k"]),
         depth=int(z["depth"]),
         idf=jnp.asarray(z["idf"].astype(np.float32)),
     )
+    return _DEFAULT_VOCAB_CACHE
 
 
 def _level_offset(k: int, lvl: int) -> int:
@@ -167,6 +181,56 @@ def bow_vector(
 def l1_score(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """DBoW2 L1 similarity: s = 1 − ½·Σ|a−b| ∈ [0,1] (ScoringObject L1)."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)
+
+
+#: per-document sparse BoW truncation: a 1,200-feature frame maps to well
+#: under 1,024 distinct words of a 100k vocabulary, so the truncation is
+#: usually lossless; the database row is 8 KB instead of 400 KB dense
+TOPW = 1024
+
+
+def sparse_bow(
+    vocab: Vocabulary, words: jnp.ndarray, valid: jnp.ndarray,
+    topw: int = TOPW,
+):
+    """Word ids → sparse BoW: (ids [topw] int32, weights [topw] f32).
+
+    The reference keeps an inverted file of word→keyframe lists
+    (``KeyFrameDatabase.h:80``); the TPU-resident analog keeps each
+    document's word list instead — same memory class (O(features) per
+    keyframe, not O(vocabulary)), but scoring stays a batched device
+    reduction (:func:`sparse_l1_score`). Weights are the L1-normalized
+    tf-idf entries (normalized BEFORE truncation, so scores remain
+    comparable with dense vectors); ids are -1 past the document's
+    distinct-word count.
+    """
+    W = vocab.n_words
+    counts = jnp.zeros((W,)).at[jnp.clip(words, 0)].add(
+        valid.astype(jnp.float32), mode="drop"
+    )
+    v = counts * vocab.idf
+    v = v / jnp.maximum(jnp.sum(v), 1e-9)
+    wts, ids = jax.lax.top_k(v, topw)
+    ids = jnp.where(wts > 0, ids, -1)
+    return ids.astype(jnp.int32), wts
+
+
+def sparse_l1_score(q_ids, q_wts, db_ids, db_wts):
+    """L1 similarity between a sparse query and sparse database rows.
+
+    For L1-normalized documents, 1 − ½Σ_w|a_w − b_w| = Σ_{w∈a∩b}
+    min(a_w, b_w) — the same identity DBoW2's L1 scoring exploits
+    (``ScoringObject.cpp``), so this returns EXACTLY :func:`l1_score` of
+    the corresponding dense vectors whenever neither document was
+    truncated. q_ids/q_wts [T]; db_ids/db_wts [..., T] → [...] scores.
+    """
+    eq = (
+        (db_ids[..., :, None] == q_ids[None, :])
+        & (q_ids >= 0)[None, :]
+        & (db_ids >= 0)[..., :, None]
+    )
+    m = jnp.minimum(db_wts[..., :, None], q_wts[None, :])
+    return jnp.sum(jnp.where(eq, m, 0.0), axis=(-2, -1))
 
 
 def score_against_database(query_bow: jnp.ndarray, db_bows: jnp.ndarray):

@@ -174,7 +174,8 @@ def vi_bundle_adjust(
     gravity: jnp.ndarray,
     gyro_walk_info: float,
     acc_walk_info: float,
-    prior_info: jnp.ndarray = None,
+    prior_bg_info: float = 0.0,
+    prior_ba_info: float = 0.0,
     iters: int = 10,
     fix_scale: bool = True,
     cam_model: str = "pinhole",
@@ -185,11 +186,18 @@ def vi_bundle_adjust(
     obs.kf indexes into the K keyframes; reprojection goes through the fixed
     extrinsic T_cb (camera-from-body).  Bias random-walk factors couple
     consecutive edges' biases with the given walk information weights.
+
+    prior_bg_info / prior_ba_info: isotropic information pulling each free
+    keyframe's bias toward its value at call time — the bFIBA priors
+    (priorG/priorA, ``Optimizer.cc:397`` EdgePriorGyro/EdgePriorAcc).
     """
     K = st.R_bw.shape[0]
     L = X.shape[0]
     P = 15
     delta2 = jnp.where(obs.u_right >= 0, factors.CHI2_STEREO, factors.CHI2_MONO)
+    free_kf_f = (~fixed_kf).astype(jnp.float32)
+    bg_prior0 = st.bg
+    ba_prior0 = st.ba
 
     def camera_pose(stc):
         """T_cw = T_cb ∘ T_bw."""
@@ -216,7 +224,12 @@ def vi_bundle_adjust(
             (w_g * jnp.sum(dbg * dbg, -1) + w_a * jnp.sum(dba * dba, -1))
             * edges.valid
         )
-        return c_vis + c_in + c_rw
+        c_pr = prior_bg_info * jnp.sum(
+            (stc.bg - bg_prior0) ** 2 * free_kf_f[:, None]
+        ) + prior_ba_info * jnp.sum(
+            (stc.ba - ba_prior0) ** 2 * free_kf_f[:, None]
+        )
+        return c_vis + c_in + c_rw + c_pr
 
     def lm_iter(carry, _):
         stc, Xc, lam, best_cost = carry
@@ -331,6 +344,15 @@ def vi_bundle_adjust(
             S = S.at[jj, dd, ii, dd].add(-w3)
             b = b.at[ii, dd].add(wgt[:, None] * db)
             b = b.at[jj, dd].add(-wgt[:, None] * db)
+
+        # ---- bias priors (bFIBA): gradient + diagonal information --------
+        b = b.at[:, 9:12].add(-prior_bg_info * (stc.bg - bg_prior0))
+        b = b.at[:, 12:15].add(-prior_ba_info * (stc.ba - ba_prior0))
+        kk = jnp.arange(K)[:, None]
+        dgp = jnp.arange(9, 12)[None, :]
+        dap = jnp.arange(12, 15)[None, :]
+        S = S.at[kk, dgp, kk, dgp].add(prior_bg_info)
+        S = S.at[kk, dap, kk, dap].add(prior_ba_info)
 
         # ---- damping, fixing, solve -------------------------------------
         Sf = S.reshape(K * P, K * P)

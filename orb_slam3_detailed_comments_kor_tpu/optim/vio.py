@@ -1,0 +1,306 @@
+"""Per-frame visual-inertial state optimization with a marginal prior.
+
+``Optimizer::PoseInertialOptimizationLastKeyFrame`` / ``LastFrame`` analog
+(``/root/reference/src/Optimizer.cc:6697,7092``): at frame rate, jointly
+optimize the current frame's FULL 15-dim state (body pose, velocity, gyro
+bias, accel bias) against
+
+  - the reprojection of its matched map points,
+  - the IMU preintegration factor from the previous state (last keyframe
+    right after an insertion, last frame otherwise),
+  - bias random-walk factors between the two states, and
+  - the previous state's marginal prior — the ``ConstraintPoseImu``
+    carried between frames (``/root/reference/include/G2oTypes.h:703-783``).
+
+The previous state is kept FREE under its prior (the reference fixes the
+keyframe in the LastKeyFrame variant; an informative prior generalizes
+both variants into one 30-dim Gauss-Newton program), and after the solve
+it is marginalized out by Schur complement, producing the next frame's
+prior. This is the core VIO estimator of the inertial modes: velocity and
+bias are updated EVERY frame, not only at keyframes, and information flows
+forward through the prior chain exactly as in the reference.
+
+TPU shape: the whole estimator is one fixed-iteration 30-dim GN inside the
+fused frame program — a [30,30] solve per iteration is negligible next to
+the front-end, so per-frame VI fusion costs nothing over the pose-only
+path it replaces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
+from orb_slam3_detailed_comments_kor_tpu.optim import factors
+from orb_slam3_detailed_comments_kor_tpu.optim.ba import (
+    CHI2_MONO, CHI2_STEREO, Observations, _robust_cost,
+)
+from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+
+class VioState(NamedTuple):
+    """One body state: world→body pose + velocity + biases."""
+
+    R_bw: jnp.ndarray  # [3,3]
+    t_bw: jnp.ndarray  # [3]
+    v: jnp.ndarray     # [3] world-frame velocity
+    bg: jnp.ndarray    # [3]
+    ba: jnp.ndarray    # [3]
+
+
+class VioPrior(NamedTuple):
+    """Marginal prior on one state (ConstraintPoseImu analog,
+    ``G2oTypes.h:703-783``): information matrix at a linearization point.
+    Tangent ordering: [ξ(6: θ,t left-mult), v(3), bg(3), ba(3)]."""
+
+    H: jnp.ndarray      # [15,15]
+    state: VioState
+
+
+def strong_prior(
+    state: VioState,
+    pose_info: float = 1e6,
+    vel_info: float = 1e4,
+    bias_info: float = 1e4,
+) -> VioPrior:
+    """Prior standing in for a FIXED previous state (the LastKeyFrame
+    variant fixes the keyframe vertex, ``Optimizer.cc:6697``; a stiff
+    finite prior is the same constraint without a special code path)."""
+    d = jnp.concatenate([
+        jnp.full((6,), pose_info),
+        jnp.full((3,), vel_info),
+        jnp.full((6,), bias_info),
+    ])
+    return VioPrior(H=jnp.diag(d), state=state)
+
+
+def _state_residual_15(x15, st: VioState, ref: VioState):
+    """15-dim tangent residual of a perturbed state vs a reference state
+    (prior residual): [se3_log(T(x)·T̄⁻¹), v−v̄, bg−b̄g, ba−b̄a]."""
+    dR, dt = lie.se3_exp(x15[0:6])
+    R = dR @ st.R_bw
+    t = dR @ st.t_bw + dt
+    Rr_i, tr_i = lie.se3_inverse(ref.R_bw, ref.t_bw)
+    Rd, td = lie.se3_compose(R, t, Rr_i, tr_i)
+    xi = lie.se3_log(Rd, td)
+    return jnp.concatenate([
+        xi,
+        st.v + x15[6:9] - ref.v,
+        st.bg + x15[9:12] - ref.bg,
+        st.ba + x15[12:15] - ref.ba,
+    ])
+
+
+def _inertial_residual_30(
+    x30, prev: VioState, cur: VioState, pre: imu_ops.Preintegrated, gravity
+):
+    """EdgeInertial 9-dim residual (``G2oTypes.cc:517``) + bias random walk
+    placeholder handled separately; function of the 30-dim joint tangent
+    [prev ξ,v,bg,ba | cur ξ,v,bg,ba] for fwd autodiff."""
+    dRp, dtp = lie.se3_exp(x30[0:6])
+    Rp = dRp @ prev.R_bw
+    tp = dRp @ prev.t_bw + dtp
+    vp = prev.v + x30[6:9]
+    bgp = prev.bg + x30[9:12]
+    bap = prev.ba + x30[12:15]
+    dRc, dtc = lie.se3_exp(x30[15:21])
+    Rc = dRc @ cur.R_bw
+    tc = dRc @ cur.t_bw + dtc
+    vc = cur.v + x30[21:24]
+
+    dbg = bgp - pre.bias_g
+    dba = bap - pre.bias_a
+    dR = pre.dR @ lie.so3_exp(pre.JRg @ dbg)
+    dV = pre.dV + pre.JVg @ dbg + pre.JVa @ dba
+    dP = pre.dP + pre.JPg @ dbg + pre.JPa @ dba
+    dt = pre.dt
+    p_p = -Rp.T @ tp
+    p_c = -Rc.T @ tc
+    r_R = lie.so3_log(dR.T @ Rp @ Rc.T)
+    r_v = Rp @ (vc - vp - gravity * dt) - dV
+    r_p = Rp @ (p_c - p_p - vp * dt - 0.5 * gravity * dt * dt) - dP
+    return jnp.concatenate([r_R, r_v, r_p])
+
+
+#: inertial covariance floor shared with the batch VI-BA solvers
+_COV_FLOOR = jnp.asarray(
+    (5e-4, 5e-4, 5e-4, 2e-3, 2e-3, 2e-3, 1e-3, 1e-3, 1e-3), jnp.float32
+)
+
+
+def frame_vi_optimize(
+    prior: VioPrior,
+    pre: imu_ops.Preintegrated,
+    cur0: VioState,
+    X: jnp.ndarray,
+    uv: jnp.ndarray,
+    u_right: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    R_cb: jnp.ndarray,
+    t_cb: jnp.ndarray,
+    bf: float,
+    gravity: jnp.ndarray,
+    gyro_walk_info: float = 1e4,
+    acc_walk_info: float = 1e3,
+    iters: int = 6,
+    cam_model: str = "pinhole",
+    uv_r=None,
+    rig=None,
+):
+    """30-dim joint GN + marginalization. Returns
+    (cur: VioState, next_prior: VioPrior, inlier [M] bool, n_inliers).
+
+    X [M,3] matched map points for the current frame; uv/u_right/
+    inv_sigma2/valid [M] the corresponding measurements (the fused
+    tracker's stage-2 matches). The previous state and its prior live in
+    ``prior``; ``pre`` is the preintegration previous→current.
+    """
+    M = X.shape[0]
+    obs = Observations(
+        kf=jnp.zeros((M,), jnp.int32),
+        lm=jnp.arange(M, dtype=jnp.int32),
+        uv=uv,
+        u_right=u_right,
+        inv_sigma2=inv_sigma2,
+        valid=valid,
+    )
+    if rig is not None:
+        obs = Observations(
+            kf=jnp.zeros((2 * M,), jnp.int32),
+            lm=jnp.tile(jnp.arange(M, dtype=jnp.int32), 2),
+            uv=jnp.concatenate([uv, uv_r]),
+            u_right=-jnp.ones((2 * M,), u_right.dtype),
+            inv_sigma2=jnp.tile(inv_sigma2, 2),
+            valid=jnp.concatenate([valid, valid & (uv_r[:, 0] >= 0)]),
+            cam=jnp.concatenate([
+                jnp.zeros((M,), jnp.int32), jnp.ones((M,), jnp.int32)
+            ]),
+        )
+    delta2 = jnp.where(obs.u_right >= 0, CHI2_STEREO, CHI2_MONO)
+    info9 = jnp.linalg.inv(pre.cov + jnp.diag(_COV_FLOOR**2))
+    # whitening square roots (Cholesky of the information matrices)
+    L9 = jnp.linalg.cholesky(
+        0.5 * (info9 + info9.T) + 1e-6 * jnp.eye(9)
+    )
+    Hp = 0.5 * (prior.H + prior.H.T) + 1e-4 * jnp.eye(15)
+    Lp = jnp.linalg.cholesky(Hp)
+    dtc = jnp.maximum(pre.dt, 1e-3)
+    w_rw = jnp.concatenate([
+        jnp.full((3,), jnp.sqrt(gyro_walk_info / dtc)),
+        jnp.full((3,), jnp.sqrt(acc_walk_info / dtc)),
+    ])
+
+    prev0 = prior.state
+
+    def small_residuals(x30, prev, cur):
+        """All non-visual residuals, whitened, as one vector [15+9+6]."""
+        r_pr = Lp.T @ _state_residual_15(x30[0:15], prev, prior.state)
+        r_in = L9.T @ _inertial_residual_30(x30, prev, cur, pre, gravity)
+        bgp = prev.bg + x30[9:12]
+        bap = prev.ba + x30[12:15]
+        bgc = cur.bg + x30[24:27]
+        bac = cur.ba + x30[27:30]
+        r_rw = w_rw * jnp.concatenate([bgc - bgp, bac - bap])
+        return jnp.concatenate([r_pr, r_in, r_rw])
+
+    def vis_blocks(cur, active):
+        """Visual residual + body-pose Jacobian blocks at the current
+        state (EdgeMono/Stereo through the body pose, ``G2oTypes.h:339``)."""
+        R_cw = R_cb @ cur.R_bw
+        t_cw = R_cb @ cur.t_bw + t_cb
+        r, row_mask, depth_ok = factors.reproj_residuals(
+            R_cw[None], t_cw[None], X, obs._replace(valid=active),
+            cam_params, bf, cam_model, rig=rig,
+        )
+        chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
+        w_h = factors.huber_weight(chi2, delta2)
+        w = obs.inv_sigma2 * w_h * (active & depth_ok)
+        pb = X[obs.lm] @ cur.R_bw.T + cur.t_bw
+        pc = pb @ R_cb.T + t_cb
+        _, Jproj, _ = factors._rig_select(
+            obs, pc, cam_params, bf, cam_model, rig
+        )
+        eye = jnp.broadcast_to(jnp.eye(3), (pb.shape[0], 3, 3))
+        dpb_dxi = jnp.concatenate([eye, -lie.hat(pb)], axis=-1)
+        dpc_dxi = jnp.einsum("ij,ojk->oik", R_cb, dpb_dxi)
+        Jp = -jnp.einsum("oij,ojk->oik", Jproj, dpc_dxi) * row_mask[:, :, None]
+        Hv = jnp.einsum("oij,oik,o->jk", Jp, Jp, w)          # [6,6]
+        bv = -jnp.einsum("oij,oi,o->j", Jp, r, w)            # [6]
+        c_vis = jnp.sum(_robust_cost(chi2, delta2) * (active & depth_ok))
+        return Hv, bv, c_vis, chi2, depth_ok
+
+    def total_cost(prev, cur, active):
+        rs = small_residuals(jnp.zeros(30), prev, cur)
+        _, _, c_vis, _, _ = vis_blocks(cur, active)
+        return jnp.sum(rs * rs) + c_vis
+
+    def gn_iter(carry, _):
+        prev, cur, active, lam, best = carry
+        x0 = jnp.zeros(30)
+        f = lambda x: small_residuals(x, prev, cur)
+        r_s = f(x0)
+        J_s = jax.jacfwd(f)(x0)                # [30_res, 30]
+        H = J_s.T @ J_s
+        b = -J_s.T @ r_s
+        Hv, bv, _, _, _ = vis_blocks(cur, active)
+        H = H.at[15:21, 15:21].add(Hv)
+        b = b.at[15:21].add(bv)
+        # damped solve with Jacobi scaling (information spans decades)
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(30)
+        d = jnp.sqrt(jnp.clip(jnp.diag(Hd), 1e-12, None))
+        dx = jnp.linalg.solve(Hd / d[:, None] / d[None, :], b / d) / d
+        dRp, dtp = lie.se3_exp(dx[0:6])
+        prev_new = VioState(
+            R_bw=dRp @ prev.R_bw, t_bw=dRp @ prev.t_bw + dtp,
+            v=prev.v + dx[6:9], bg=prev.bg + dx[9:12], ba=prev.ba + dx[12:15],
+        )
+        dRc, dtc2 = lie.se3_exp(dx[15:21])
+        cur_new = VioState(
+            R_bw=dRc @ cur.R_bw, t_bw=dRc @ cur.t_bw + dtc2,
+            v=cur.v + dx[21:24], bg=cur.bg + dx[24:27], ba=cur.ba + dx[27:30],
+        )
+        cost_new = total_cost(prev_new, cur_new, active)
+        accept = (cost_new < best) & jnp.isfinite(dx).all()
+        prev = jax.tree.map(lambda n, o: jnp.where(accept, n, o),
+                            prev_new, prev)
+        cur = jax.tree.map(lambda n, o: jnp.where(accept, n, o),
+                           cur_new, cur)
+        lam = jnp.where(accept, lam * 0.33, lam * 4.0)
+        best = jnp.where(accept, cost_new, best)
+        # chi² re-gate on the full set (outliers can recover; the
+        # reference regates between its 4 rounds, Optimizer.cc:831)
+        _, _, _, chi2, dok = vis_blocks(cur, obs.valid)
+        active = obs.valid & dok & (chi2 <= delta2)
+        return (prev, cur, active, lam, best), None
+
+    active0 = obs.valid
+    cost0 = total_cost(prev0, cur0, active0)
+    (prev_f, cur_f, active_f, _, _), _ = jax.lax.scan(
+        gn_iter, (prev0, cur0, active0, jnp.float32(1e-3), cost0),
+        None, length=iters,
+    )
+    cur_f = cur_f._replace(R_bw=lie.project_to_so3(cur_f.R_bw))
+
+    # ---- marginalize the previous state (ConstraintPoseImu production) ---
+    x0 = jnp.zeros(30)
+    f = lambda x: small_residuals(x, prev_f, cur_f)
+    J_s = jax.jacfwd(f)(x0)
+    H = J_s.T @ J_s
+    Hv, _, _, chi2_f, dok_f = vis_blocks(cur_f, active_f)
+    H = H.at[15:21, 15:21].add(Hv)
+    Hpp = H[0:15, 0:15] + 1e-6 * jnp.eye(15)
+    Hpc = H[0:15, 15:30]
+    Hcc = H[15:30, 15:30]
+    H_marg = Hcc - Hpc.T @ jnp.linalg.solve(Hpp, Hpc)
+    H_marg = 0.5 * (H_marg + H_marg.T)
+    H_marg = jnp.where(jnp.isfinite(H_marg).all(), H_marg, jnp.eye(15))
+    next_prior = VioPrior(H=H_marg, state=cur_f)
+
+    inlier = active_f[:M] if rig is not None else active_f
+    return cur_f, next_prior, inlier, jnp.sum(active_f)

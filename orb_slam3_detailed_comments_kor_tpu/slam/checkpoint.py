@@ -20,7 +20,16 @@ from orb_slam3_detailed_comments_kor_tpu.slam import map_state as msx
 if TYPE_CHECKING:  # pragma: no cover
     from orb_slam3_detailed_comments_kor_tpu.slam.system import SlamSystem
 
-FORMAT_VERSION = 1
+#: v2: MapState gained kf_uvr (fisheye right-pixel rig observations) and
+#: the BoW database became sparse (lc_bow_words/lc_bow_wts); fields missing
+#: from older snapshots are defaulted on load instead of raising KeyError
+FORMAT_VERSION = 2
+
+#: per-field defaults for fields added after a snapshot was written:
+#: name -> callable(reference_field_of_same_name_from_live_system) -> array
+_MS_FIELD_DEFAULTS = {
+    "kf_uvr": lambda ref: -jnp.ones_like(ref),
+}
 
 
 def _pack_namedtuple(prefix: str, nt, out: dict) -> None:
@@ -28,10 +37,20 @@ def _pack_namedtuple(prefix: str, nt, out: dict) -> None:
         out[f"{prefix}{name}"] = np.asarray(arr)
 
 
-def _unpack_namedtuple(prefix: str, cls, z) -> object:
+def _unpack_namedtuple(prefix: str, cls, z, like=None) -> object:
     fields = {}
     for name in cls._fields:
-        fields[name] = jnp.asarray(z[f"{prefix}{name}"])
+        key = f"{prefix}{name}"
+        if key in z:
+            fields[name] = jnp.asarray(z[key])
+        elif like is not None and name in _MS_FIELD_DEFAULTS:
+            fields[name] = _MS_FIELD_DEFAULTS[name](
+                getattr(like, name)
+            )
+        else:
+            raise KeyError(
+                f"checkpoint missing field {key} and no default is known"
+            )
     return cls(**fields)
 
 
@@ -68,8 +87,9 @@ def save_map(slam: "SlamSystem", path: str) -> None:
             if slam._last_frame_time is not None else None
         )
     lc = slam.loop_closer
-    if lc.bow_db is not None:
-        out["lc_bow_db"] = np.asarray(lc.bow_db)
+    if lc.db_words is not None:
+        out["lc_bow_words"] = np.asarray(lc.db_words)
+        out["lc_bow_wts"] = np.asarray(lc.db_wts)
         meta["lc_n_loops_closed"] = lc.n_loops_closed
     # shelved Atlas maps (Atlas::CreateNewMap keeps old maps; Atlas.cc:58)
     for i, m in enumerate(slam.atlas_maps):
@@ -78,8 +98,9 @@ def save_map(slam: "SlamSystem", path: str) -> None:
         meta[f"atlas{i}_traj_end"] = int(m["traj_end"])
         meta[f"atlas{i}_gen"] = int(m.get("gen", -1))
         lc_i = m.get("loop_closer")
-        if lc_i is not None and lc_i.bow_db is not None:
-            out[f"atlas{i}_bow_db"] = np.asarray(lc_i.bow_db)
+        if lc_i is not None and lc_i.db_words is not None:
+            out[f"atlas{i}_bow_words"] = np.asarray(lc_i.db_words)
+            out[f"atlas{i}_bow_wts"] = np.asarray(lc_i.db_wts)
     out["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
@@ -93,9 +114,9 @@ def load_map(slam: "SlamSystem", path: str) -> None:
 
     z = np.load(path)
     meta = json.loads(bytes(z["meta_json"]).decode())
-    if meta["version"] != FORMAT_VERSION:
+    if meta["version"] > FORMAT_VERSION:
         raise ValueError(f"checkpoint version {meta['version']} unsupported")
-    ms = _unpack_namedtuple("ms_", msx.MapState, z)
+    ms = _unpack_namedtuple("ms_", msx.MapState, z, like=slam.ms)
     if ms.K != slam.ms.K or ms.N != slam.ms.N or ms.L != slam.ms.L:
         raise ValueError(
             f"capacity mismatch: checkpoint ({ms.K},{ms.N},{ms.L}) vs "
@@ -120,10 +141,28 @@ def load_map(slam: "SlamSystem", path: str) -> None:
         slam._last_kf_time = meta["last_kf_time"]
         slam._last_frame_time = meta["last_frame_time"]
         slam._imu_buf = []
-    if "lc_bow_db" in z and slam.loop_closer.bow_db is not None:
-        db = jnp.asarray(z["lc_bow_db"])
-        if db.shape == slam.loop_closer.bow_db.shape:
-            slam.loop_closer.bow_db = db
+    if "lc_bow_words" in z and slam.loop_closer.db_words is not None:
+        dbw = jnp.asarray(z["lc_bow_words"])
+        if dbw.shape == slam.loop_closer.db_words.shape:
+            slam.loop_closer.db_words = dbw
+            slam.loop_closer.db_wts = jnp.asarray(z["lc_bow_wts"])
+            slam.loop_closer.n_loops_closed = meta.get(
+                "lc_n_loops_closed", 0
+            )
+    # v1 snapshots carried the dense [K, n_words] database; re-deriving the
+    # sparse rows from it is lossless (top-k of each row)
+    elif "lc_bow_db" in z and slam.loop_closer.db_words is not None:
+        import jax as _jax
+        from orb_slam3_detailed_comments_kor_tpu.models import (
+            vocabulary as _v,
+        )
+        dense = jnp.asarray(z["lc_bow_db"])
+        if dense.shape[0] == slam.loop_closer.db_words.shape[0]:
+            wts, ids = _jax.lax.top_k(dense, _v.TOPW)
+            slam.loop_closer.db_words = jnp.where(
+                wts > 0, ids, -1
+            ).astype(jnp.int32)
+            slam.loop_closer.db_wts = wts
             slam.loop_closer.n_loops_closed = meta.get(
                 "lc_n_loops_closed", 0
             )
@@ -131,13 +170,15 @@ def load_map(slam: "SlamSystem", path: str) -> None:
     slam.atlas_maps = []
     for i in range(meta.get("n_atlas_maps", 0)):
         m = {
-            "ms": _unpack_namedtuple(f"atlas{i}_ms_", msx.MapState, z),
+            "ms": _unpack_namedtuple(
+                f"atlas{i}_ms_", msx.MapState, z, like=slam.ms
+            ),
             "n_kf": meta[f"atlas{i}_n_kf"],
             "traj_end": meta[f"atlas{i}_traj_end"],
             "gen": meta.get(f"atlas{i}_gen", -1),
             "loop_closer": None,
         }
-        if f"atlas{i}_bow_db" in z:
+        if f"atlas{i}_bow_words" in z or f"atlas{i}_bow_db" in z:
             from orb_slam3_detailed_comments_kor_tpu.models import (
                 vocabulary as _voc,
             )
@@ -152,7 +193,18 @@ def load_map(slam: "SlamSystem", path: str) -> None:
                 vocab_depth=min(cap.vocab_depth, 3),
                 vocab=_voc.load_default(),
             )
-            lc_i.bow_db = jnp.asarray(z[f"atlas{i}_bow_db"])
+            if f"atlas{i}_bow_words" in z:
+                lc_i.db_words = jnp.asarray(z[f"atlas{i}_bow_words"])
+                lc_i.db_wts = jnp.asarray(z[f"atlas{i}_bow_wts"])
+            else:
+                import jax as _jax
+                from orb_slam3_detailed_comments_kor_tpu.models import (
+                    vocabulary as _v,
+                )
+                dense = jnp.asarray(z[f"atlas{i}_bow_db"])
+                wts, ids = _jax.lax.top_k(dense, _v.TOPW)
+                lc_i.db_words = jnp.where(wts > 0, ids, -1).astype(jnp.int32)
+                lc_i.db_wts = wts
             m["loop_closer"] = lc_i
         slam.atlas_maps.append(m)
     # a loaded map has no pending deferred decision

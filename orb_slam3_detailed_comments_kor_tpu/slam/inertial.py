@@ -354,11 +354,22 @@ def local_vi_ba_step(
     scale: float = 1.2,
     cam_model: str = "pinhole",
     rig=None,
+    prior_bg_info=jnp.float32(0.0),
+    prior_ba_info=jnp.float32(0.0),
 ):
     """Sliding-temporal-window local inertial BA (LocalInertialBA analog:
     the reference uses the last 10-25 temporally-consecutive KFs,
     ``Optimizer.cc:3963-3970``), with landmark compaction as in
-    ``local_ba_step``. Window = [center-window+1, center]."""
+    ``local_ba_step``. Window = [center-window+1, center].
+
+    With ``window >= n_kf`` and bias priors this IS the whole-map
+    FullInertialBA (``Optimizer.cc:397``) in its dense-Schur form — at the
+    IMU-init map size (~8-16 KFs) the dense reduced system is ~4.5x faster
+    on-chip than the matrix-free PCG whole-capacity solve, so the bFIBA
+    call (``LocalMapping.cc:1712-1720``) routes through here.
+
+    Returns (ms, ikf, final_cost).
+    """
     K, N, L = ms.K, ms.N, ms.L
     # temporal window (clamped at 0); pad with duplicates marked invalid
     offs = jnp.arange(window - 1, -1, -1)
@@ -433,11 +444,13 @@ def local_vi_ba_step(
     first_ok = jnp.argmax(win_ok)  # first True (window ascending in time)
     fixed = (jnp.arange(window) == first_ok) | ~win_ok
 
-    st_f, X_f, _ = vi_ba.vi_bundle_adjust(
+    st_f, X_f, costs = vi_ba.vi_bundle_adjust(
         st, X_local, obs, edges, fixed, ~lm_used[:lm_cap], cam_params,
         R_cb, t_cb, bf, gravity,
         gyro_walk_info=vi_ba.WALK_INFO_CAP,
         acc_walk_info=vi_ba.WALK_INFO_CAP,
+        prior_bg_info=prior_bg_info,
+        prior_ba_info=prior_ba_info,
         iters=iters,
         cam_model=cam_model,
         rig=rig,
@@ -463,4 +476,4 @@ def local_vi_ba_step(
         bg=ikf.bg.at[win].set(jnp.where(upd[:, None], st_f.bg, ikf.bg[win])),
         ba=ikf.ba.at[win].set(jnp.where(upd[:, None], st_f.ba, ikf.ba[win])),
     )
-    return ms, ikf
+    return ms, ikf, costs[-1]

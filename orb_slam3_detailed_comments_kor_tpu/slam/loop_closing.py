@@ -54,8 +54,17 @@ class LoopCloser:
         self.min_inliers = min_inliers
         self.consistency_needed = consistency
         self.vocab: Optional[voc.Vocabulary] = vocab
-        self.bow_db: Optional[jnp.ndarray] = (
-            None if vocab is None else jnp.zeros((max_kf, vocab.n_words))
+        # sparse per-keyframe BoW rows: word ids [K, TOPW] (-1 pad) +
+        # L1-normalized tf-idf weights [K, TOPW]. O(features) per keyframe
+        # like the reference's inverted file (``KeyFrameDatabase.h:80``) —
+        # the dense [K, n_words] matrix was 205 MB/map at the default
+        # 512-KF × 100k-word capacity
+        self.db_words: Optional[jnp.ndarray] = (
+            None if vocab is None
+            else jnp.full((max_kf, voc.TOPW), -1, jnp.int32)
+        )
+        self.db_wts: Optional[jnp.ndarray] = (
+            None if vocab is None else jnp.zeros((max_kf, voc.TOPW))
         )
         self._train_buf = []
         self._consecutive = 0
@@ -97,21 +106,22 @@ class LoopCloser:
                 self.vocab = voc.train_vocabulary(
                     desc, k=self.vocab_k, depth=self.vocab_depth, iters=6
                 )
-                self.bow_db = jnp.zeros(
-                    (self.max_kf, self.vocab.n_words)
+                self.db_words = jnp.full(
+                    (self.max_kf, voc.TOPW), -1, jnp.int32
                 )
+                self.db_wts = jnp.zeros((self.max_kf, voc.TOPW))
                 # backfill buffered keyframes
                 for idx, d in enumerate(self._train_buf):
                     if len(d) == 0:
                         continue
                     v = jnp.ones((d.shape[0],), bool)
                     words = voc.transform(self.vocab, jnp.asarray(d), v)
-                    self.bow_db = self.bow_db.at[idx].set(
-                        voc.bow_vector(self.vocab, words, v)
-                    )
+                    ids, wts = voc.sparse_bow(self.vocab, words, v)
+                    self.db_words = self.db_words.at[idx].set(ids)
+                    self.db_wts = self.db_wts.at[idx].set(wts)
             return
-        self.bow_db = _add_kf_core(
-            self.bow_db, jnp.int32(kf_idx), desc_bits, valid,
+        self.db_words, self.db_wts = _add_kf_core(
+            self.db_words, self.db_wts, jnp.int32(kf_idx), desc_bits, valid,
             self.vocab.centroids, self.vocab.idf,
             self.vocab.k, self.vocab.depth,
         )
@@ -121,18 +131,19 @@ class LoopCloser:
         """Remap BoW database rows after keyframe-slot compaction
         (``map_state.compact_keyframes``): row r moves to new_of_old[r];
         rows of culled keyframes are zeroed (KeyFrameDatabase::erase)."""
-        if self.bow_db is None:
+        if self.db_words is None:
             return
-        K = self.bow_db.shape[0]
+        K = self.db_words.shape[0]
         noo = np.asarray(new_of_old)
         old_of_new = np.full((K,), -1, np.int64)
         kept = noo < K
         old_of_new[noo[kept]] = np.nonzero(kept)[0]
         src = np.where(old_of_new >= 0, old_of_new, 0)
-        db = self.bow_db[jnp.asarray(src)]
-        self.bow_db = jnp.where(
-            jnp.asarray(old_of_new >= 0)[:, None], db, 0.0
+        live = jnp.asarray(old_of_new >= 0)[:, None]
+        self.db_words = jnp.where(
+            live, self.db_words[jnp.asarray(src)], -1
         )
+        self.db_wts = jnp.where(live, self.db_wts[jnp.asarray(src)], 0.0)
         # in-flight detection results index pre-compaction slots
         self._pending_detect = None
         self._consecutive = 0
@@ -152,8 +163,8 @@ class LoopCloser:
             return -1
         cs = np.asarray(
             _detect_core(
-                self.bow_db, ms, jnp.int32(kf_idx), jnp.int32(n_kf),
-                self.min_gap,
+                self.db_words, self.db_wts, ms, jnp.int32(kf_idx),
+                jnp.int32(n_kf), self.min_gap,
             )
         )
         return self._consistency_gate(kf_idx, cs)
@@ -166,8 +177,8 @@ class LoopCloser:
         out = self.poll_detect()
         if self.vocab is not None and kf_idx >= self.min_gap:
             cs = _detect_core(
-                self.bow_db, ms, jnp.int32(kf_idx), jnp.int32(n_kf),
-                self.min_gap,
+                self.db_words, self.db_wts, ms, jnp.int32(kf_idx),
+                jnp.int32(n_kf), self.min_gap,
             )
             try:
                 cs.copy_to_host_async()
@@ -363,11 +374,12 @@ class LoopCloser:
 # shared across SlamSystem/LoopCloser instances: over a remote device
 # tunnel every eager op costs a full RTT, so each step must be ONE dispatch
 @functools.partial(jax.jit, static_argnames=("k", "depth"))
-def _add_kf_core(db, kf_idx, desc_bits, valid, centroids, idf, k, depth):
+def _add_kf_core(db_words, db_wts, kf_idx, desc_bits, valid, centroids, idf,
+                 k, depth):
     vocab = voc.Vocabulary(centroids=centroids, k=k, depth=depth, idf=idf)
     words = voc.transform(vocab, desc_bits, valid)
-    bow = voc.bow_vector(vocab, words, valid)
-    return db.at[kf_idx].set(bow)
+    ids, wts = voc.sparse_bow(vocab, words, valid)
+    return db_words.at[kf_idx].set(ids), db_wts.at[kf_idx].set(wts)
 
 
 #: BoW candidates returned per query (DetectNBestCandidates' nNumCandidates,
@@ -376,7 +388,7 @@ N_CAND = 3
 
 
 @functools.partial(jax.jit, static_argnames=("min_gap",))
-def _detect_core(db, ms: msx.MapState, kf_idx, n_kf, min_gap):
+def _detect_core(db_words, db_wts, ms: msx.MapState, kf_idx, n_kf, min_gap):
     """Covisibility-group place-recognition scoring.
 
     The reference accumulates BoW scores over each candidate's covisibility
@@ -386,8 +398,10 @@ def _detect_core(db, ms: msx.MapState, kf_idx, n_kf, min_gap):
     and its OWN covisible neighbours (DetectLoopCandidates' minScore).
     Returns [N_CAND, 2]: (member kf, member score), score −1 ⇒ no candidate.
     """
-    K = db.shape[0]
-    scores = voc.l1_score(db[kf_idx][None, :], db)  # [K]
+    K = db_words.shape[0]
+    scores = voc.sparse_l1_score(
+        db_words[kf_idx], db_wts[kf_idx], db_words, db_wts
+    )  # [K]
     kk = jnp.arange(K)
     near = (kk > kf_idx - min_gap) & (kk <= kf_idx)
     in_map = (kk < n_kf) & ms.kf_valid

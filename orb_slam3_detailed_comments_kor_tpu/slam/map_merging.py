@@ -32,18 +32,21 @@ from orb_slam3_detailed_comments_kor_tpu.utils import lie
 
 
 def detect_merge_candidate(
-    bow_cur: jnp.ndarray,
-    shelved_db: jnp.ndarray,
+    bow_cur,
+    shelved_db,
     n_kf_shelved: int,
     min_score: float = 0.15,
 ) -> Tuple[int, float]:
-    """Score the current keyframe's BoW vector against a shelved map's
-    database (KeyFrameDatabase::DetectNBestCandidates merge path).
+    """Score the current keyframe's sparse BoW row against a shelved
+    map's database (KeyFrameDatabase::DetectNBestCandidates merge path).
 
+    bow_cur: (ids [T], wts [T]); shelved_db: (ids [K,T], wts [K,T]).
     Returns (best_kf_idx_or_-1, score).
     """
-    scores = np.array(voc.score_against_database(
-        bow_cur, shelved_db[:n_kf_shelved]
+    q_ids, q_wts = bow_cur
+    db_ids, db_wts = shelved_db
+    scores = np.array(voc.sparse_l1_score(
+        q_ids, q_wts, db_ids[:n_kf_shelved], db_wts[:n_kf_shelved]
     ))
     cand = int(scores.argmax())
     if scores[cand] < min_score:
@@ -362,16 +365,17 @@ def merge_into_shelved(
     # merge the BoW databases: old rows stay, cur rows land at kf_dst
     lc_old = shelf.get("loop_closer")
     if (
-        lc_old is not None and lc_old.bow_db is not None
-        and slam.loop_closer.bow_db is not None
+        lc_old is not None and lc_old.db_words is not None
+        and slam.loop_closer.db_words is not None
     ):
-        db = lc_old.bow_db
+        dbw, dbv = lc_old.db_words, lc_old.db_wts
         dst = np.asarray(kf_dst)
-        cur_db = slam.loop_closer.bow_db
+        cw, cv = slam.loop_closer.db_words, slam.loop_closer.db_wts
         for i in range(n_cur):
             if dst[i] < ms.K:
-                db = db.at[int(dst[i])].set(cur_db[i])
-        lc_old.bow_db = db
+                dbw = dbw.at[int(dst[i])].set(cw[i])
+                dbv = dbv.at[int(dst[i])].set(cv[i])
+        lc_old.db_words, lc_old.db_wts = dbw, dbv
         slam.loop_closer = lc_old
 
     # --- inertial state weld (MergeLocal2, ``LoopClosing.cc:1837``) -------
@@ -467,16 +471,16 @@ def try_merge(slam) -> bool:
     if not slam.atlas_maps or slam.n_kf < 3:
         return False
     lc = slam.loop_closer
-    if lc.vocab is None or lc.bow_db is None:
+    if lc.vocab is None or lc.db_words is None:
         return False
     kf_cur = slam.n_kf - 1
-    bow_cur = lc.bow_db[kf_cur]
+    bow_cur = (lc.db_words[kf_cur], lc.db_wts[kf_cur])
     for shelf_idx, shelf in enumerate(slam.atlas_maps):
         lc_old = shelf.get("loop_closer")
-        if lc_old is None or lc_old.bow_db is None:
+        if lc_old is None or lc_old.db_words is None:
             continue
         cand, score = detect_merge_candidate(
-            bow_cur, lc_old.bow_db, shelf["n_kf"]
+            bow_cur, (lc_old.db_words, lc_old.db_wts), shelf["n_kf"]
         )
         if cand < 0:
             continue

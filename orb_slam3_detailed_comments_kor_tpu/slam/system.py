@@ -21,6 +21,7 @@ re-expressed for an in-order device stream.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -177,6 +178,8 @@ class SlamSystem:
         self.trajectory: List[tuple] = []
         self._map_gen = 0
         self._gen_counter = 0
+        # FIFO of deferred per-keyframe mapping slices (see _bg_push)
+        self._bg_queue: List[tuple] = []
         # Atlas: shelved maps (Atlas::CreateNewMap stores the old map)
         self.atlas_maps: List[dict] = []
         # per-stage tracing (REGISTER_TIMES analog; opt-in, ~zero overhead
@@ -555,7 +558,7 @@ class SlamSystem:
             stacked = jnp.stack([it[1].n_inliers for it in q])
             self._consume_decisions(q, stacked)
         self._maybe_close_loop(flush=True)
-        while self._gba_chunks_left > 0 or self._lba_chunks_left > 0:
+        while self._bg_queue or self._gba_chunks_left > 0:
             self._service_background()
 
     def _decide(
@@ -635,6 +638,12 @@ class SlamSystem:
         recognition, LoopClosing.cc:1288)."""
         from orb_slam3_detailed_comments_kor_tpu.slam.loop_closing import LoopCloser
 
+        # complete pending BoW inserts so the shelved database covers every
+        # keyframe (merge detection scores against it); refinement slices
+        # are dropped with the queue on reset below
+        for kind, fn in list(self._bg_queue):
+            if kind == "bow_insert":
+                fn()
         shelf = {
             "ms": self.ms,
             "n_kf": self.n_kf,
@@ -673,6 +682,10 @@ class SlamSystem:
         self.n_lost_frames = 0
         self.state = TrackingState.NOT_INITIALIZED
         self.has_velocity = False
+        # queued mapping slices and pending GBA target the OLD map
+        self._bg_queue = []
+        self._gba_chunks_left = 0
+        self._gba_prev_cost = None
         self._gen_counter += 1
         self._map_gen = self._gen_counter
         if self.cfg.is_inertial:
@@ -727,13 +740,15 @@ class SlamSystem:
 
         if lc.vocab is None or n_kf < 1:
             return None
-        bow = voc.bow_vector(
+        q_ids, q_wts = voc.sparse_bow(
             lc.vocab, voc.transform(lc.vocab, frame.desc, frame.valid),
             frame.valid,
         )
         # full-capacity scoring with a mask (a [:n_kf] slice would recompile
         # the scoring program at every map size)
-        scores = np.array(voc.score_against_database(bow, lc.bow_db))
+        scores = np.array(
+            voc.sparse_l1_score(q_ids, q_wts, lc.db_words, lc.db_wts)
+        )
         scores[n_kf:] = -1.0
         cand = int(scores.argmax())
         if scores[cand] < 0.05:
@@ -794,6 +809,9 @@ class SlamSystem:
         relocalization succeeds in a non-active map). The current active
         map is shelved in its place if mature, else dropped."""
         shelf = self.atlas_maps.pop(idx)
+        for kind, fn in list(self._bg_queue):
+            if kind == "bow_insert":
+                fn()
         if self.n_kf >= 5:
             cur = {
                 "ms": self.ms,
@@ -815,6 +833,11 @@ class SlamSystem:
         )
         self.loop_closer = shelf["loop_closer"]
         self._map_gen = shelf["gen"]
+        # queued mapping slices captured indices of the map being switched
+        # away from — drop them (fresh ones are scheduled by this map's KFs)
+        self._bg_queue = []
+        self._gba_chunks_left = 0
+        self._gba_prev_cost = None
         self.frames_since_kf = 0
         self._last_kf_dispatch_idx = self._dispatch_idx
         self.n_lost_frames = 0
@@ -959,52 +982,87 @@ class SlamSystem:
     _gba_chunks_left = 0
     _gba_chunks_run = 0
     _gba_prev_cost = None
-    #: remaining bounded local-BA slices for the newest keyframe
-    _lba_chunks_left = 0
-    _lba_center = -1
+
+    # ------------------------------------------------------------------
+    # Background work pipeline. The reference runs LocalMapping and
+    # LoopClosing on their own threads so the camera-rate tracking thread
+    # never waits behind mapping work (``src/System.cc:104-148``); the
+    # device-queue analog is a FIFO of SMALL device programs ("slices"),
+    # at most ONE of which is dispatched ahead of each frame's tracking
+    # program. Worst-case frame latency is therefore one slice, and every
+    # per-keyframe job (BoW insert, duplicate fusion, local-BA slices,
+    # culling, loop detection, merge probing) drains over the following
+    # frames instead of piling into the insertion frame's queue.
+    # ------------------------------------------------------------------
+
+    def _bg_push(self, kind: str, fn) -> None:
+        self._bg_queue.append((kind, fn))
+
+    def _bg_drop(self, kinds) -> None:
+        self._bg_queue = [
+            (k, f) for (k, f) in self._bg_queue if k not in kinds
+        ]
+
+    def _drain_bg_queue(self) -> None:
+        """Run every queued slice now (sequence end / pre-compaction)."""
+        while self._bg_queue:
+            kind, fn = self._bg_queue.pop(0)
+            with self.timer.span(f"mapping/{kind}"):
+                fn()
 
     def _schedule_local_ba(self, kf_idx: int, chunks: int = 3) -> None:
         """Queue the per-KF local BA as bounded slices serviced one per
-        subsequent frame dispatch, instead of running the whole solve
-        inside the insertion call. This is the reference's LocalMapping
-        thread overlap (``src/System.cc:104-148``) re-expressed for a
-        device queue: tracking programs interleave with 2-LM-iteration BA
-        slices in device order, so the worst-case frame latency at KF
-        insertion is one slice, not a full local BA. A newer keyframe
-        aborts the remaining slices and restarts at its own window — the
+        subsequent frame dispatch. A newer keyframe aborts the previous
+        window's remaining slices and restarts at its own window — the
         ``mbAbortBA`` preemption (``LocalMapping.cc:115``)."""
-        self._lba_center = kf_idx
-        self._lba_chunks_left = chunks
+        self._bg_drop(("local_ba_chunk",))
+        for _ in range(chunks):
+            self._bg_push(
+                "local_ba_chunk", functools.partial(self._lba_slice, kf_idx)
+            )
 
-    def _service_local_ba(self) -> None:
-        if self._lba_chunks_left <= 0:
-            return
+    def _lba_slice(self, kf_idx: int) -> None:
         from orb_slam3_detailed_comments_kor_tpu.slam import inertial
 
         cam = self.cfg.camera
-        with self.timer.span("mapping/local_ba_chunk"):
-            if self.cfg.is_inertial and self.imu_initialized:
-                self.ms, self.ikf = inertial.local_vi_ba_step(
-                    self.ms, self.ikf, jnp.int32(self._lba_center),
-                    self.gravity, self.cam_params, self.R_cb, self.t_cb,
-                    cam.bf, window=10,
-                    lm_cap=self.cfg.capacity.max_local_landmarks,
-                    iters=2, cam_model=self.cam_model, rig=self.rig,
-                )
-            else:
-                self.ms = tracking.local_ba_step(
-                    self.ms, jnp.int32(self._lba_center), self.cam_params,
-                    cam.bf, window=min(8, self.cfg.capacity.max_local_kfs),
-                    lm_cap=self.cfg.capacity.max_local_landmarks,
-                    iters=2, cam_model=self.cam_model, rig=self.rig,
-                )
-        self._lba_chunks_left -= 1
+        if self.cfg.is_inertial and self.imu_initialized:
+            self.ms, self.ikf, _ = inertial.local_vi_ba_step(
+                self.ms, self.ikf, jnp.int32(kf_idx),
+                self.gravity, self.cam_params, self.R_cb, self.t_cb,
+                cam.bf, window=10,
+                lm_cap=self.cfg.capacity.max_local_landmarks,
+                iters=2, cam_model=self.cam_model, rig=self.rig,
+            )
+        else:
+            self.ms = tracking.local_ba_step(
+                self.ms, jnp.int32(kf_idx), self.cam_params,
+                cam.bf, window=min(8, self.cfg.capacity.max_local_kfs),
+                lm_cap=self.cfg.capacity.max_local_landmarks,
+                iters=2, cam_model=self.cam_model, rig=self.rig,
+            )
+
+    #: queued-slice backpressure: past this depth the inserting keyframe
+    #: services slices inline until the queue fits. Under normal cadence
+    #: (a keyframe every ~10 frames) the queue never reaches it; under
+    #: keyframe-dense stress the mapping work must not fall behind
+    #: unboundedly (the reference's LocalMapping queue has the same
+    #: property — its consumer loop outpaces the producer or the map
+    #: degrades, ``LocalMapping.cc:358-363``)
+    _BG_QUEUE_MAX = 8
+
+    def _bg_backpressure(self) -> None:
+        while len(self._bg_queue) > self._BG_QUEUE_MAX:
+            kind, fn = self._bg_queue.pop(0)
+            with self.timer.span(f"mapping/{kind}"):
+                fn()
 
     def _service_background(self) -> None:
-        """One background slice per frame dispatch: the newest keyframe's
-        local BA first (freshest constraints), then any pending GBA."""
-        if self._lba_chunks_left > 0:
-            self._service_local_ba()
+        """One background slice per frame dispatch: queued per-KF mapping
+        jobs first (freshest constraints), then any pending GBA."""
+        if self._bg_queue:
+            kind, fn = self._bg_queue.pop(0)
+            with self.timer.span(f"mapping/{kind}"):
+                fn()
         else:
             self._service_gba()
 
@@ -1021,11 +1079,25 @@ class SlamSystem:
                 if self.cfg.is_inertial and self.imu_initialized:
                     from orb_slam3_detailed_comments_kor_tpu.slam import inertial
 
-                    self.ms, self.ikf, cost = inertial.full_inertial_ba(
-                        self.ms, self.ikf, self.gravity, self.cam_params,
-                        self.R_cb, self.t_cb, self.cfg.camera.bf,
-                        iters=2, cam_model=self.cam_model, rig=self.rig,
-                    )
+                    if self.ms.K <= 128:
+                        # dense-Schur whole-map FIBA slice: at these map
+                        # sizes the materialized reduced system is ~4.5x
+                        # faster on-chip than the matrix-free PCG solve
+                        # (and one slice fits the frame latency budget)
+                        self.ms, self.ikf, cost = inertial.local_vi_ba_step(
+                            self.ms, self.ikf, jnp.int32(self.n_kf - 1),
+                            self.gravity, self.cam_params, self.R_cb,
+                            self.t_cb, self.cfg.camera.bf,
+                            window=self.ms.K,
+                            lm_cap=min(self.ms.L, 16384),
+                            iters=1, cam_model=self.cam_model, rig=self.rig,
+                        )
+                    else:
+                        self.ms, self.ikf, cost = inertial.full_inertial_ba(
+                            self.ms, self.ikf, self.gravity, self.cam_params,
+                            self.R_cb, self.t_cb, self.cfg.camera.bf,
+                            iters=2, cam_model=self.cam_model, rig=self.rig,
+                        )
                 else:
                     self.ms, cost = self.loop_closer.gba_chunk(
                         self.ms, self.cam_params, self.cfg.camera.bf,
@@ -1048,9 +1120,20 @@ class SlamSystem:
         if cost is None:  # distributed path reports no scalar (avoids sync)
             return
         cost = float(cost)  # one scalar pull per chunk, loop-rate not frame-rate
-        prev = self._gba_prev_cost
-        self._gba_prev_cost = cost
-        if prev is None or prev <= 0.0:
+        # chi² sums are only comparable between chunks that linearized the
+        # SAME observation set: a keyframe inserted/culled/evicted between
+        # two chunks shifts the sum and fakes convergence (or divergence).
+        # Chunks from different map signatures restart the comparison.
+        sig = (
+            self._map_gen, self.n_kf, self.stats["kf_inserted"],
+            self.stats["kf_culled"], self.stats["kf_evicted"],
+        )
+        prev_rec = self._gba_prev_cost
+        self._gba_prev_cost = (cost, sig)
+        if prev_rec is None:
+            return
+        prev, prev_sig = prev_rec
+        if prev_sig != sig or prev <= 0.0:
             return
         rel = (prev - cost) / prev
         if rel < self._GBA_REL_TOL:
@@ -1401,7 +1484,9 @@ class SlamSystem:
                 n_levels=self.cfg.orb.n_levels,
             )
         if self.n_kf >= 3:
-            self._fuse_new_duplicates(kf_idx)
+            self._bg_push(
+                "fuse", functools.partial(self._fuse_new_duplicates, kf_idx)
+            )
         if not self.imu_initialized:
             kt = self._host_kf_times()
             span = float(kt[self.n_kf - 1] - kt[0])
@@ -1435,14 +1520,16 @@ class SlamSystem:
                 # bFIBA: whole-map VI BA with bias priors right after init
                 # (``LocalMapping.cc:1712-1720`` → FullInertialBA with
                 # priorG=1e2, priorA=1e5, ``Optimizer.cc:397``) — snaps the
-                # visual-only map onto the IMU-consistent trajectory
-                self.ms, self.ikf, _ = inertial.full_inertial_ba(
-                    self.ms, self.ikf, self.gravity, self.cam_params,
-                    self.R_cb, self.t_cb, cam.bf,
-                    prior_bg_info=jnp.float32(1e2),
-                    prior_ba_info=jnp.float32(1e5),
-                    iters=6, cam_model=self.cam_model, rig=self.rig,
-                )
+                # visual-only map onto the IMU-consistent trajectory. The
+                # init-time map is tiny (~8-16 KFs), so the dense-Schur
+                # windowed form IS the full map; one 2-iteration slice runs
+                # now (tracking needs IMU-consistent poses immediately for
+                # prediction) and two more drain over the next frames —
+                # the synchronous whole-capacity solve this replaces held
+                # the device queue for >1 s at exactly this moment.
+                self.ms, self.ikf, _ = self._init_fiba_slice()
+                for _ in range(2):
+                    self._bg_push("init_fiba", self._init_fiba_apply)
             elif self.n_kf >= 2:
                 # before IMU init the solve must converge before the init
                 # window closes: run the full visual local BA inline (the
@@ -1455,11 +1542,10 @@ class SlamSystem:
                 )
                 self.ms = tracking.cull_landmarks(self.ms)
         else:
-            # chunked VI local BA: first slice now, the rest interleave
-            # with the next frames (LocalMapping thread-overlap analog)
+            # chunked VI local BA + landmark culling: bounded slices on the
+            # background FIFO (LocalMapping thread-overlap analog)
             self._schedule_local_ba(self.n_kf - 1)
-            self._service_local_ba()
-            self.ms = tracking.cull_landmarks(self.ms)
+            self._bg_push("cull_lm", self._cull_landmarks_slice)
             # VIBA1/VIBA2 schedule (LocalMapping.cc:238-295): re-estimate
             # gravity/bias/velocities once more map+motion has accumulated —
             # the first init inherits the pre-IMU visual drift. Mono also
@@ -1477,15 +1563,48 @@ class SlamSystem:
                 elif 0.5 < float(s) < 2.0:
                     self.ikf, self.gravity = ikf2, g2
                     self._apply_map_scale(s)
-            self._maybe_close_loop()
+            self._bg_push("loop", self._maybe_close_loop)
         # Atlas merge across shelved maps (MergeLocal2 for inertial,
         # LoopClosing.cc:1837) — same detection path as the visual merge;
         # runs whether or not this young map's IMU is initialized yet
         if self.atlas_maps and self.enable_loop_closing:
             from orb_slam3_detailed_comments_kor_tpu.slam import map_merging
 
-            with self.timer.span("mapping/try_merge"):
-                map_merging.try_merge(self)
+            self._bg_drop(("try_merge",))
+            self._bg_push(
+                "try_merge", functools.partial(map_merging.try_merge, self)
+            )
+        self._bg_backpressure()
+
+    # one dense-Schur slice of the post-IMU-init FullInertialBA (bFIBA)
+    _INIT_FIBA_WINDOW = 16
+
+    def _init_fiba_slice(self):
+        from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+        return inertial.local_vi_ba_step(
+            self.ms, self.ikf, jnp.int32(self.n_kf - 1),
+            self.gravity, self.cam_params, self.R_cb, self.t_cb,
+            self.cfg.camera.bf,
+            window=self._INIT_FIBA_WINDOW,
+            lm_cap=self.cfg.capacity.max_local_landmarks,
+            iters=2, cam_model=self.cam_model, rig=self.rig,
+            prior_bg_info=jnp.float32(1e2),
+            prior_ba_info=jnp.float32(1e5),
+        )
+
+    def _init_fiba_apply(self) -> None:
+        self.ms, self.ikf, _ = self._init_fiba_slice()
+
+    def _cull_landmarks_slice(self) -> None:
+        self.ms = tracking.cull_landmarks(self.ms)
+
+    def _cull_redundant_slice(self) -> None:
+        protect = jnp.zeros((self.ms.K,), bool)
+        protect = protect.at[0].set(True).at[1].set(True)
+        protect = protect.at[max(self.n_kf - 1, 0)].set(True)
+        protect = protect.at[max(self.n_kf - 2, 0)].set(True)
+        self.ms = tracking.cull_redundant_keyframes(self.ms, protect)
 
     def _fuse_new_duplicates(self, kf_idx) -> None:
         """Duplicate-landmark fusion for the newest keyframe's spawns
@@ -1576,9 +1695,18 @@ class SlamSystem:
                     protect[i] = True
         n_before = self.n_kf
         self.stats["reclaims"] += 1
-        # pending local-BA slices index pre-compaction slots — abort them
-        # (the inserting keyframe schedules fresh ones right after)
-        self._lba_chunks_left = 0
+        # queued mapping slices capture pre-compaction slot indices.
+        # BoW inserts and loop-detection continuity must not be lost (the
+        # consistency gate counts consecutive keyframes), so run those now;
+        # refinement slices (local BA, fusion, culling, merge probes) are
+        # safely dropped — the next keyframe reschedules fresh ones.
+        keep = [
+            it for it in self._bg_queue if it[0] in ("bow_insert", "loop")
+        ]
+        self._bg_queue = []
+        for kind, fn in keep:
+            with self.timer.span(f"mapping/{kind}"):
+                fn()
         self.ms = tracking.cull_redundant_keyframes(
             self.ms, jnp.asarray(protect), max_cull=8,
             redundancy=0.75,
@@ -1675,7 +1803,16 @@ class SlamSystem:
         # the CURRENT frame; batched _decide overrides with its snapshot
         self._last_kf_dispatch_idx = self._dispatch_idx
         if self.enable_loop_closing:
-            self.loop_closer.add_keyframe(kf_idx_host, frame.desc, frame.valid)
+            # BoW database insert (KeyFrameDatabase::add) rides the
+            # background queue; FIFO order guarantees it lands before any
+            # detection queued for this keyframe
+            self._bg_push(
+                "bow_insert",
+                functools.partial(
+                    self.loop_closer.add_keyframe, kf_idx_host,
+                    frame.desc, frame.valid,
+                ),
+            )
 
     def _maybe_close_loop(self, flush: bool = False) -> None:
         """Detect + verify + correct (LoopClosing::Run per-KF body).
@@ -1823,33 +1960,39 @@ class SlamSystem:
                 n_levels=self.cfg.orb.n_levels,
             )
         if self.n_kf >= 2:
-            self._fuse_new_duplicates(kf_idx)
-            # local BA runs as bounded slices interleaved with the next
-            # frames' dispatches (see _schedule_local_ba) — the first slice
-            # runs NOW so a sparse-frame sequence still refines promptly
-            self._schedule_local_ba(self.n_kf - 1)
-            self._service_local_ba()
-            self.ms = tracking.cull_landmarks(self.ms)
+            # every per-KF mapping job below is a bounded device slice on
+            # the background FIFO — one slice dispatches ahead of each
+            # subsequent frame, so the insertion frame's queue carries only
+            # make_keyframe (LocalMapping thread overlap, System.cc:104-148)
+            kf_host = self.n_kf - 1
+            self._bg_push(
+                "fuse", functools.partial(self._fuse_new_duplicates, kf_host)
+            )
+            self._schedule_local_ba(kf_host)
+            self._bg_push("cull_lm", self._cull_landmarks_slice)
             # redundant-KF culling (visual mode; the inertial chain keeps
-            # its keyframes — reference merges preintegrations instead)
-            if not self.cfg.is_inertial and self.n_kf > 6:
-                protect = jnp.zeros((self.ms.K,), bool)
-                protect = protect.at[0].set(True).at[1].set(True)
-                protect = protect.at[self.n_kf - 1].set(True)
-                protect = protect.at[self.n_kf - 2].set(True)
-                self.ms = tracking.cull_redundant_keyframes(self.ms, protect)
-            self._maybe_close_loop()
+            # its keyframes — reference merges preintegrations instead).
+            # Every 3rd keyframe: the scan is the costliest per-KF program
+            # (~30 ms on-chip) and redundancy accumulates across keyframes,
+            # not within one.
+            if not self.cfg.is_inertial and self.n_kf > 6 and kf_host % 3 == 0:
+                self._bg_drop(("cull_kf",))
+                self._bg_push("cull_kf", self._cull_redundant_slice)
+            self._bg_push("loop", self._maybe_close_loop)
             # Atlas merge: while shelved maps exist, check every new KF for
             # overlap with them (LoopClosing merge path, LoopClosing.cc:1288)
             if self.atlas_maps and self.enable_loop_closing:
                 from orb_slam3_detailed_comments_kor_tpu.slam import map_merging
 
-                with self.timer.span("mapping/try_merge"):
-                    map_merging.try_merge(self)
+                self._bg_drop(("try_merge",))
+                self._bg_push(
+                    "try_merge", functools.partial(map_merging.try_merge, self)
+                )
             # NOTE: the live tracking pose is deliberately NOT overwritten by
             # the BA result — the tracker re-aligns to the refined map at the
             # next frame's optimization (reference behavior: Tracking owns its
             # pose; LocalMapping only refines the map)
+            self._bg_backpressure()
 
     # ------------------------------------------------------------------
     def save_map(self, path: str) -> None:

@@ -19,6 +19,10 @@ def make_sys():
     s._gba_chunks_left = 4
     s._gba_chunks_run = 0
     s._gba_prev_cost = None
+    # map signature inputs (costs are only comparable on an unchanged map)
+    s._map_gen = 0
+    s.n_kf = 10
+    s.stats = {"kf_inserted": 10, "kf_culled": 0, "kf_evicted": 0}
     return s
 
 
@@ -58,4 +62,18 @@ def test_oscillating_cost_stops():
     s = make_sys()
     feed(s, 100.0)
     feed(s, 120.0)  # got worse: rel < tol -> stop
+    assert s._gba_chunks_left == 0
+
+
+def test_map_change_between_chunks_resets_comparison():
+    """ADVICE r3 (medium): a keyframe inserted between two chunks changes
+    the observation set — the chi² sums are not comparable, and the budget
+    must neither fake convergence nor fake divergence from them."""
+    s = make_sys()
+    feed(s, 100.0)
+    s.stats["kf_inserted"] += 1  # new KF raised the chi² sum
+    s.n_kf += 1
+    feed(s, 130.0)  # would read as "got worse: stop" without the signature
+    assert s._gba_chunks_left == 2  # untouched: comparison restarted
+    feed(s, 129.9)  # same map now: rel = 7.7e-4 < tol -> converged
     assert s._gba_chunks_left == 0
