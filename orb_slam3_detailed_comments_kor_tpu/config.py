@@ -129,6 +129,11 @@ class TrackingConfig:
     # Optimizer.cc:6697): 1σ trust region of the dead-reckoned prediction
     imu_prior_sigma_rot: float = 0.02    # rad over one inter-KF window
     imu_prior_sigma_trans: float = 0.02  # m over one inter-KF window
+    # full per-frame VI state optimization with a marginalized prior chain
+    # (PoseInertialOptimizationLastKeyFrame/LastFrame + ConstraintPoseImu,
+    # Optimizer.cc:6697,7092) refining the fused tracker's pose each frame;
+    # off falls back to the pose-prior-only fusion above
+    use_frame_vio: bool = True
     # frames whose decision scalars (inlier counts) are fetched from the
     # device with ONE batched readback; decisions lag by up to 2×batch
     # frames. 1 = synchronous per-frame decisions (lowest recovery latency,

@@ -152,8 +152,18 @@ def search_by_projection(
         jnp.abs(feat_level[None, :] - proj_level[:, None]) <= level_slack
     )
     m = in_window & lvl_ok & proj_valid[:, None] & feat_valid[None, :]
-    dist = hamming_matrix(proj_desc, feat_desc)
-    best_idx, best, second = masked_best2(dist, m)
+    from orb_slam3_detailed_comments_kor_tpu.ops import pallas_matching
+
+    if pallas_matching.use_pallas():
+        # fused Pallas tile kernel: the [L,N] distance matrix never
+        # round-trips HBM (best/second/argbest only) — the hot per-frame
+        # matcher runs 3x per tracked frame
+        best_idx, best, second = pallas_matching.fused_masked_best2(
+            proj_desc, feat_desc, m
+        )
+    else:
+        dist = hamming_matrix(proj_desc, feat_desc)
+        best_idx, best, second = masked_best2(dist, m)
     ok = (best <= max_dist) & (best <= ratio * second) & proj_valid
     return MatchResult(
         idx=jnp.where(ok, best_idx, -1), dist=jnp.where(ok, best, BIG), valid=ok

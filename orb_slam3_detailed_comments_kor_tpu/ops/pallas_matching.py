@@ -80,9 +80,15 @@ def _kernel(a_ref, b_ref, mask_ref, idx_ref, best_ref, second_ref):
         jnp.zeros((_TN,), jnp.int32),
     )
     best, second, idx = jax.lax.fori_loop(0, n_tiles, tile, init)
-    idx_ref[:] = idx
-    best_ref[:] = best
-    second_ref[:] = second
+    # outputs are [grid, TN] full-array blocks and each sequential grid
+    # step writes its own row: a rank-1 s32[n_pad] output hands XLA a
+    # T(1024) layout that Mosaic's T(128) can't satisfy (the r3 on-chip
+    # compile failure), and a (1, TN) row block violates the (8, 128)
+    # minimum block tiling
+    row = pl.program_id(0)
+    idx_ref[row, :] = idx
+    best_ref[row, :] = best
+    second_ref[row, :] = second
 
 
 def _pad_to(x, n, axis, value=0):
@@ -126,15 +132,26 @@ def fused_masked_best2(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_TN,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad // _TN, _TN), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad // _TN, _TN), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad // _TN, _TN), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // _TN, _TN), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad // _TN, _TN), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // _TN, _TN), jnp.float32),
         ],
         interpret=interpret,
     )(a, b, mk)
-    return idx[:N], best[:N], second[:N]
+    return (
+        idx.reshape(-1)[:N],
+        best.reshape(-1)[:N],
+        second.reshape(-1)[:N],
+    )
+
+
+def use_pallas() -> bool:
+    return jax.default_backend() in ("tpu", "axon")

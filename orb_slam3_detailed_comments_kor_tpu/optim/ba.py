@@ -111,17 +111,8 @@ def pose_optimization(
         valid=valid,
     )
     if rig is not None:
-        obs = Observations(
-            kf=jnp.zeros((2 * n,), jnp.int32),
-            lm=jnp.tile(jnp.arange(n, dtype=jnp.int32), 2),
-            uv=jnp.concatenate([uv, uv_r]),
-            u_right=-jnp.ones((2 * n,), u_right.dtype),
-            inv_sigma2=jnp.tile(inv_sigma2, 2),
-            valid=jnp.concatenate([valid, valid & (uv_r[:, 0] >= 0)]),
-            cam=jnp.concatenate([
-                jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32)
-            ]),
-        )
+        assert uv_r is not None, "rig pose optimization requires uv_r"
+        obs = factors.with_rig_rows(obs, uv_r)
         valid = obs.valid
     delta2 = jnp.where(obs.u_right >= 0, CHI2_STEREO, CHI2_MONO)
 

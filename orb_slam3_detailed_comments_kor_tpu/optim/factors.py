@@ -96,6 +96,13 @@ def with_rig_rows(obs: Observations, uvr_flat) -> Observations:
     uvr_flat [O,2]: matched right-camera pixel per left observation, x<0 =
     no match. Right rows inherit kf/lm/inv_sigma2; u_right is −1 (mono) and
     ``cam`` distinguishes the physical camera for ``_rig_select``.
+
+    APPROXIMATION: the right row reuses the LEFT keypoint's octave weight
+    (inv_sigma2), whereas the reference's ToBody edges weight by the right
+    keypoint's own detected octave (``Optimizer.cc:1146`` region). At the
+    rig baselines supported here the matched octaves differ by at most one
+    level (the matcher enforces ±1 level slack), bounding the weight error
+    to the 1.44× per-level sigma ratio.
     """
     n = obs.n
     return Observations(

@@ -171,17 +171,8 @@ def frame_vi_optimize(
         valid=valid,
     )
     if rig is not None:
-        obs = Observations(
-            kf=jnp.zeros((2 * M,), jnp.int32),
-            lm=jnp.tile(jnp.arange(M, dtype=jnp.int32), 2),
-            uv=jnp.concatenate([uv, uv_r]),
-            u_right=-jnp.ones((2 * M,), u_right.dtype),
-            inv_sigma2=jnp.tile(inv_sigma2, 2),
-            valid=jnp.concatenate([valid, valid & (uv_r[:, 0] >= 0)]),
-            cam=jnp.concatenate([
-                jnp.zeros((M,), jnp.int32), jnp.ones((M,), jnp.int32)
-            ]),
-        )
+        assert uv_r is not None, "rig VI optimization requires uv_r"
+        obs = factors.with_rig_rows(obs, uv_r)
     delta2 = jnp.where(obs.u_right >= 0, CHI2_STEREO, CHI2_MONO)
     info9 = jnp.linalg.inv(pre.cov + jnp.diag(_COV_FLOOR**2))
     # whitening square roots (Cholesky of the information matrices)
@@ -304,3 +295,116 @@ def frame_vi_optimize(
 
     inlier = active_f[:M] if rig is not None else active_f
     return cur_f, next_prior, inlier, jnp.sum(active_f)
+
+
+# ----------------------------------------------------------------------
+# Fused per-frame wrappers (one device dispatch each)
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=())
+def kf_prior(kf_R_cw, kf_t_cw, vel, bg, ba, R_cb, t_cb):
+    """Build the LastKeyFrame-variant prior from a keyframe's VI state
+    (the reference FIXES the keyframe vertex, ``Optimizer.cc:6697``; a
+    stiff prior at its current state is the masked-static equivalent).
+    Used right after a keyframe insertion and whenever background mapping
+    rewrote map poses since the last frame (``mbMapUpdated`` analog,
+    ``Tracking.cc:2967-2989``)."""
+    R_bc, t_bc = lie.se3_inverse(R_cb, t_cb)
+    st = VioState(
+        R_bw=R_bc @ kf_R_cw,
+        t_bw=R_bc @ kf_t_cw + t_bc,
+        v=vel, bg=bg, ba=ba,
+    )
+    return strong_prior(st)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bf", "scale", "cam_model", "cap", "min_inliers"),
+)
+def vio_frame_step(
+    lm_pos,
+    lm_feat,
+    lm_inlier,
+    frame_xy,
+    frame_u_right,
+    frame_level,
+    frame_uv_r,
+    R_cw_vis,
+    t_cw_vis,
+    prior: VioPrior,
+    pre: imu_ops.Preintegrated,
+    cam_params,
+    R_cb,
+    t_cb,
+    gravity,
+    rig,
+    bf: float,
+    scale: float,
+    cam_model: str = "pinhole",
+    cap: int = 1024,
+    min_inliers: int = 15,
+):
+    """ONE device program refining the visually-tracked frame with the
+    full 15-dim VI state (``PoseInertialOptimizationLastFrame`` /
+    ``LastKeyFrame``, ``Optimizer.cc:6697,7092``).
+
+    Inputs are the fused tracker's outputs: ``lm_feat/lm_inlier`` [L] map
+    the landmark block to matched feature indices; the matched subset is
+    compacted into ``cap`` static slots. Returns
+    (R_cw, t_cw, cur: VioState, next_prior: VioPrior, n_vio_inliers);
+    pose falls back to the IMU dead-reckoned state (and the prior to a
+    stiff prior at it) when the solve diverges or visual support is below
+    ``min_inliers`` — the PredictStateIMU degradation path.
+    """
+    L = lm_feat.shape[0]
+    M = cap
+    matched = lm_inlier
+    slot = jnp.where(matched, jnp.cumsum(matched) - 1, M)
+    slot = jnp.minimum(slot, M)
+    lm_ids = jnp.arange(L, dtype=jnp.int32)
+    sel = jnp.zeros((M + 1,), jnp.int32).at[slot].set(lm_ids, mode="drop")
+    used = jnp.zeros((M + 1,), bool).at[slot].set(matched, mode="drop")
+    sel, used = sel[:M], used[:M]
+    feat = jnp.clip(lm_feat[sel], 0)
+    X = lm_pos[sel]
+    uv = frame_xy[feat]
+    u_right = jnp.where(used, frame_u_right[feat], -1.0)
+    inv_sigma2 = 1.0 / scale ** (2.0 * frame_level[feat].astype(jnp.float32))
+    uv_r = None if frame_uv_r is None else frame_uv_r[feat]
+
+    # dead-reckoned current state (prev state ∘ preintegration)
+    prev = prior.state
+    R_wb_p = prev.R_bw.T
+    p_wb_p = -prev.R_bw.T @ prev.t_bw
+    R2, p2, v2 = imu_ops.predict_state(
+        pre, R_wb_p, p_wb_p, prev.v, prev.bg, prev.ba, gravity
+    )
+    pred = VioState(R_bw=R2.T, t_bw=-R2.T @ p2, v=v2, bg=prev.bg, ba=prev.ba)
+
+    # initial state: visual pose + predicted velocity / carried bias
+    R_bc, t_bc = lie.se3_inverse(R_cb, t_cb)
+    cur0 = VioState(
+        R_bw=R_bc @ R_cw_vis,
+        t_bw=R_bc @ t_cw_vis + t_bc,
+        v=v2, bg=prev.bg, ba=prev.ba,
+    )
+    cur, next_prior, _, n_in = frame_vi_optimize(
+        prior, pre, cur0, X, uv, u_right, inv_sigma2, used,
+        cam_params, R_cb, t_cb, bf, gravity,
+        cam_model=cam_model, uv_r=uv_r, rig=rig,
+    )
+    finite = (
+        jnp.isfinite(cur.t_bw).all()
+        & jnp.isfinite(cur.v).all()
+        & jnp.isfinite(next_prior.H).all()
+    )
+    ok = finite & (n_in >= min_inliers)
+    cur = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cur, pred)
+    fallback_prior = strong_prior(pred, pose_info=1e4)
+    next_prior = jax.tree.map(
+        lambda a, b: jnp.where(ok, a, b), next_prior, fallback_prior
+    )
+    R_cw = R_cb @ cur.R_bw
+    t_cw = R_cb @ cur.t_bw + t_cb
+    return R_cw, t_cw, cur, next_prior, n_in

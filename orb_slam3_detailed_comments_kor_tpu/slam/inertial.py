@@ -240,34 +240,14 @@ def initialize_imu(
     return ikf, res.gravity, res.scale
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "cam_model"))
-def full_inertial_ba(
-    ms: msx.MapState,
-    ikf: InertialKF,
-    gravity: jnp.ndarray,
-    cam_params: jnp.ndarray,
-    R_cb: jnp.ndarray,
-    t_cb: jnp.ndarray,
-    bf: float,
-    prior_bg_info: float = jnp.float32(0.0),
-    prior_ba_info: float = jnp.float32(0.0),
-    iters: int = 8,
-    cam_model: str = "pinhole",
-    rig=None,
-):
-    """Whole-map visual-inertial BA (``Optimizer::FullInertialBA``,
-    ``src/Optimizer.cc:397``): reprojection + preintegration chain + bias
-    random walks over ALL valid keyframes, matrix-free PCG Schur.
+def build_fiba_problem(ms: msx.MapState, ikf: InertialKF, R_cb, t_cb,
+                       rig=None):
+    """FullInertialBA problem construction (shared by the single-device
+    jitted solve and the obs-sharded distributed one): whole-map masked
+    Observations, the consecutive-chain InertialEdges, the body-frame
+    VIState and the fixed masks.
 
-    Two call sites mirror the reference: with bias priors right after IMU
-    initialization (bFIBA, ``src/LocalMapping.cc:1712-1720``) and as the
-    global BA of inertial maps after loop closure
-    (``src/LoopClosing.cc:2287-2289``) — the visual-only GBA used before
-    pulled poses off the IMU-consistent trajectory.
-
-    Full-capacity arrays + masks: one compile per session. Returns
-    (ms', ikf').
-    """
+    Returns (st, obs, edges, fixed_kf, fixed_point)."""
     K, N = ms.K, ms.N
     kf_col = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
     obs_rows = ms.obs_lm
@@ -309,18 +289,13 @@ def full_inertial_ba(
     st = vi_ba.VIState(R_bw=R_bw, t_bw=t_bw, v=ikf.vel, bg=ikf.bg, ba=ikf.ba)
     fixed_kf = ~ms.kf_valid | (jnp.arange(K) == 0)
     fixed_point = ~ms.lm_valid
+    return st, obs, edges, fixed_kf, fixed_point
 
-    st_f, X_f, costs = vi_ba.vi_bundle_adjust_cg(
-        st, ms.lm_pos, obs, edges, fixed_kf, fixed_point, cam_params,
-        R_cb, t_cb, bf, gravity,
-        gyro_walk_info=vi_ba.WALK_INFO_CAP,
-        acc_walk_info=vi_ba.WALK_INFO_CAP,
-        prior_bg_info=prior_bg_info,
-        prior_ba_info=prior_ba_info,
-        iters=iters,
-        cam_model=cam_model,
-        rig=rig,
-    )
+
+def apply_fiba_result(ms: msx.MapState, ikf: InertialKF, st_f, X_f,
+                      fixed_kf, R_cb, t_cb):
+    """Write a VI-BA result back into the map + inertial blocks (free
+    keyframes only; fixed slots keep their state)."""
     R_cw_new = jnp.einsum("ij,kjl->kil", R_cb, st_f.R_bw)
     t_cw_new = jnp.einsum("ij,kj->ki", R_cb, st_f.t_bw) + t_cb
     upd = ~fixed_kf
@@ -334,6 +309,53 @@ def full_inertial_ba(
         bg=jnp.where(upd[:, None], st_f.bg, ikf.bg),
         ba=jnp.where(upd[:, None], st_f.ba, ikf.ba),
     )
+    return ms, ikf
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "cam_model"))
+def full_inertial_ba(
+    ms: msx.MapState,
+    ikf: InertialKF,
+    gravity: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    R_cb: jnp.ndarray,
+    t_cb: jnp.ndarray,
+    bf: float,
+    prior_bg_info: float = jnp.float32(0.0),
+    prior_ba_info: float = jnp.float32(0.0),
+    iters: int = 8,
+    cam_model: str = "pinhole",
+    rig=None,
+):
+    """Whole-map visual-inertial BA (``Optimizer::FullInertialBA``,
+    ``src/Optimizer.cc:397``): reprojection + preintegration chain + bias
+    random walks over ALL valid keyframes, matrix-free PCG Schur.
+
+    Two call sites mirror the reference: with bias priors right after IMU
+    initialization (bFIBA, ``src/LocalMapping.cc:1712-1720``) and as the
+    global BA of inertial maps after loop closure
+    (``src/LoopClosing.cc:2287-2289``) — the visual-only GBA used before
+    pulled poses off the IMU-consistent trajectory.
+
+    Full-capacity arrays + masks: one compile per session. Returns
+    (ms', ikf', cost).
+    """
+    st, obs, edges, fixed_kf, fixed_point = build_fiba_problem(
+        ms, ikf, R_cb, t_cb, rig=rig
+    )
+
+    st_f, X_f, costs = vi_ba.vi_bundle_adjust_cg(
+        st, ms.lm_pos, obs, edges, fixed_kf, fixed_point, cam_params,
+        R_cb, t_cb, bf, gravity,
+        gyro_walk_info=vi_ba.WALK_INFO_CAP,
+        acc_walk_info=vi_ba.WALK_INFO_CAP,
+        prior_bg_info=prior_bg_info,
+        prior_ba_info=prior_ba_info,
+        iters=iters,
+        cam_model=cam_model,
+        rig=rig,
+    )
+    ms, ikf = apply_fiba_result(ms, ikf, st_f, X_f, fixed_kf, R_cb, t_cb)
     return ms, ikf, costs[-1]
 
 

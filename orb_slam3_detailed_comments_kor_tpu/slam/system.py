@@ -99,6 +99,46 @@ def select_eviction_slots(cov, protect, n_kf: int, n_evict: int = 5,
     return evict
 
 
+def reloc_candidate_groups(
+    cov, scores, top_k: int = 3, covis_min: float = 15.0,
+    floor_ratio: float = 0.75, abs_floor: float = 0.05,
+):
+    """Covisibility-group relocalization candidates, best group first.
+
+    ``DetectRelocalizationCandidates`` (``src/KeyFrameDatabase.cc:733``):
+    each keyframe's BoW score is accumulated over its covisibility group
+    (edges with ≥ ``covis_min`` shared observations); groups below
+    ``floor_ratio``× the best group are dropped; each retained group
+    contributes its best-scoring MEMBER. An aliased high individual score
+    in a weak group no longer shadows the true place ranked second.
+
+    cov [n,n] covisibility weights; scores [n] BoW scores. Returns an
+    ordered list of keyframe indices (≤ top_k).
+    """
+    cov = np.asarray(cov)
+    s = np.maximum(np.asarray(scores), 0.0)
+    n = s.shape[0]
+    member = cov >= covis_min
+    np.fill_diagonal(member, True)
+    group_score = member @ s
+    order = np.argsort(-group_score)
+    floor = floor_ratio * float(group_score[order[0]])
+    picked, seen = [], np.zeros((n,), bool)
+    for i in order:
+        if len(picked) >= top_k:
+            break
+        if seen[i] or group_score[i] < floor or s[i] <= 0.0:
+            continue
+        members = np.where(member[i])[0]
+        best = int(members[np.argmax(s[members])])
+        seen[members] = True
+        seen[i] = True
+        if s[best] < abs_floor or best in picked:
+            continue
+        picked.append(best)
+    return picked
+
+
 class SlamSystem:
     """Stereo(-first) SLAM system over device-resident map state."""
 
@@ -228,6 +268,12 @@ class SlamSystem:
             self._pre_segments: List[tuple] = []
             self._pre_run = None
             self._seg_t: Optional[float] = None
+            # per-frame VI estimator state (PoseInertialOptimization*,
+            # ``Optimizer.cc:6697,7092``): the marginal prior carried
+            # between frames and the last optimized frame state
+            self._vio_prior = None
+            self._vio_state = None
+            self._map_poses_dirty = True
 
     # ------------------------------------------------------------------
     @property
@@ -358,6 +404,7 @@ class SlamSystem:
                 min_inliers=self.cfg.tracking.min_inliers_local_map,
             )
         self._after_dispatch(out, t)
+        return out
 
     def _pred_inputs(self, override_pred):
         if override_pred is not None:
@@ -403,6 +450,7 @@ class SlamSystem:
                 cam_model=self.cam_model, dist=self._dist,
             )
         self._after_dispatch(out, t)
+        return out
 
     def _track_rgbd_fused(self, img, depth_map, t: float) -> None:
         cam = self.cfg.camera
@@ -421,6 +469,7 @@ class SlamSystem:
                 dist=self._dist,
             )
         self._after_dispatch(out, t)
+        return out
 
     def _track_fisheye_fused(self, img_l, img_r, t: float,
                              override_pred=None) -> None:
@@ -446,6 +495,7 @@ class SlamSystem:
                 min_inliers=self.cfg.tracking.min_inliers_local_map,
             )
         self._after_dispatch(out, t)
+        return out
 
     def _after_dispatch(self, out, t: float) -> None:
         """Post-dispatch bookkeeping + the batched decision pipeline."""
@@ -580,6 +630,10 @@ class SlamSystem:
             return
         self.n_lost_frames = 0
         self.state = TrackingState.OK
+        if self.localization_only:
+            # last successfully-tracked frame + pose: the temporal-VO
+            # fallback lifts points through it (Tracking.cc:2750)
+            self._loc_prev = (frame, (tr.R_cw, tr.t_cw))
         gap = (
             dispatch_idx - self._last_kf_dispatch_idx
             if dispatch_idx is not None else None
@@ -610,10 +664,65 @@ class SlamSystem:
     # ------------------------------------------------------------------
     # Atlas (multi-map) — Tracking::CreateMapInAtlas / ResetActiveMap
     # ------------------------------------------------------------------
+    def _loc_vo_fallback(self, frame) -> bool:
+        """Localization-mode temporal VO points (``Tracking.cc:2750``
+        ``UpdateLastFrame``): while only-tracking, the frozen map can go
+        sparse; the reference spawns temporary close-depth points from the
+        LAST frame so tracking survives. Here: match the current frame to
+        the last successfully-tracked frame, lift the matches through its
+        stereo/RGB-D depth at its optimized pose, and run motion-only pose
+        optimization on those temporal points. Nothing is inserted into
+        the map. Returns True when the frame was recovered."""
+        stash = getattr(self, "_loc_prev", None)
+        if stash is None or not self.localization_only:
+            return False
+        from orb_slam3_detailed_comments_kor_tpu.ops import matching
+
+        prev, (R_p, t_p) = stash
+        depth_ok = prev.depth > 0
+        if not bool(depth_ok.any()):
+            return False  # mono loc-mode has no last-frame depth
+        res = matching.match_nn_ratio(
+            frame.desc, prev.desc, frame.valid, prev.valid & depth_ok,
+            max_dist=60, ratio=0.85,
+        )
+        feat_b = jnp.clip(res.idx, 0)
+        z = prev.depth[feat_b]
+        from orb_slam3_detailed_comments_kor_tpu.optim import ba
+
+        rays = cam_mod.unproject(
+            self.cam_params, prev.xy[feat_b], self.cam_model
+        )
+        Xc = rays * z[:, None]
+        Xw = (Xc - t_p) @ R_p  # R_pᵀ(Xc − t_p)
+        valid = res.valid & (z > 0.05)
+        inv_s2 = 1.0 / (
+            self.cfg.orb.scale_factor
+            ** (2.0 * frame.level.astype(jnp.float32))
+        )
+        opt = ba.pose_optimization(
+            R_p, t_p, Xw, frame.xy, frame.u_right, inv_s2, valid,
+            self.cam_params, self.cfg.camera.bf,
+            cam_model=self.cam_model,
+        )
+        n = int(opt.n_inliers)
+        if n < max(20, self.cfg.tracking.min_inliers_local_map):
+            return False
+        self.R_cw, self.t_cw = opt.R_cw, opt.t_cw
+        Ri, ti = lie.se3_inverse(R_p, t_p)
+        self.vel_R, self.vel_t = lie.se3_compose(opt.R_cw, opt.t_cw, Ri, ti)
+        self.has_velocity = True
+        self._loc_prev = (frame, (opt.R_cw, opt.t_cw))
+        return True
+
     def _handle_lost(self, frame) -> None:
         """Shared lost-path: relocalize, else degrade; on hard loss either
         reset a young map or shelve a mature one and start fresh
         (``Tracking.cc:1930-1948``, ``Tracking.cc:2609``)."""
+        if self._loc_vo_fallback(frame):
+            self.n_lost_frames = 0
+            self.state = TrackingState.OK
+            return
         if self._relocalize(frame):
             self.n_lost_frames = 0
             self.state = TrackingState.OK
@@ -730,13 +839,16 @@ class SlamSystem:
     def _relocalize_in(self, frame, ms, lc, n_kf):
         """Relocalization attempt against one map's database.
 
-        Returns the recovered (R_cw, t_cw) or None."""
-        import jax as _jax
+        Multi-candidate (``DetectRelocalizationCandidates``,
+        ``src/KeyFrameDatabase.cc:733`` + ``src/Tracking.cc:3734-3954``):
+        BoW scores are accumulated over covisibility groups, each
+        sufficiently-scoring group contributes its best-scoring member,
+        and per-candidate PnP RANSAC + guided verification runs until one
+        candidate passes — a single aliased best score no longer kills
+        recovery when the true place is ranked second.
 
+        Returns the recovered (R_cw, t_cw) or None."""
         from orb_slam3_detailed_comments_kor_tpu.models import vocabulary as voc
-        from orb_slam3_detailed_comments_kor_tpu.ops import (
-            matching, orb as orb_ops, ransac,
-        )
 
         if lc.vocab is None or n_kf < 1:
             return None
@@ -750,9 +862,37 @@ class SlamSystem:
             voc.sparse_l1_score(q_ids, q_wts, lc.db_words, lc.db_wts)
         )
         scores[n_kf:] = -1.0
-        cand = int(scores.argmax())
-        if scores[cand] < 0.05:
+        if float(scores.max()) < 0.05:
             return None
+        for cand in self._reloc_candidates(ms, scores, n_kf):
+            pose = self._reloc_attempt(frame, ms, cand)
+            if pose is not None:
+                return pose
+        return None
+
+    #: candidate groups tried per map (DetectNBestCandidates' nNumCandidates)
+    _RELOC_TOP_K = 3
+
+    def _reloc_candidates(self, ms, scores, n_kf):
+        if n_kf == 1:
+            return [0]
+        kk = jnp.arange(ms.K)
+        cov = np.asarray(msx.covisibility_weights(ms, kk))[:n_kf, :n_kf]
+        return reloc_candidate_groups(
+            cov, scores[:n_kf], top_k=self._RELOC_TOP_K
+        )
+
+    def _reloc_attempt(self, frame, ms, cand):
+        """One candidate: SearchByBoW-style match → PnP RANSAC → two
+        guided refinement rounds (``Tracking.cc:3801-3940``).
+
+        Returns (R_cw, t_cw) or None."""
+        import jax as _jax
+
+        from orb_slam3_detailed_comments_kor_tpu.ops import (
+            matching, orb as orb_ops, ransac,
+        )
+
         db = orb_ops.unpack_descriptors(ms.kf_desc[cand])
         vb = ms.kf_feat_valid[cand] & (ms.obs_lm[cand] >= 0)
         res = matching.match_nn_ratio(
@@ -1003,12 +1143,24 @@ class SlamSystem:
             (k, f) for (k, f) in self._bg_queue if k not in kinds
         ]
 
+    #: background slice kinds that rewrite keyframe poses/velocities —
+    #: servicing one invalidates the per-frame VIO prior chain (the
+    #: ``mbMapUpdated`` events, ``Tracking.cc:1806-1815``)
+    _POSE_REWRITE_KINDS = frozenset(
+        ("local_ba_chunk", "cull_kf", "loop", "try_merge", "init_fiba")
+    )
+
+    def _mark_map_update(self, kind: str) -> None:
+        if kind in self._POSE_REWRITE_KINDS:
+            self._map_poses_dirty = True
+
     def _drain_bg_queue(self) -> None:
         """Run every queued slice now (sequence end / pre-compaction)."""
         while self._bg_queue:
             kind, fn = self._bg_queue.pop(0)
             with self.timer.span(f"mapping/{kind}"):
                 fn()
+            self._mark_map_update(kind)
 
     def _schedule_local_ba(self, kf_idx: int, chunks: int = 3) -> None:
         """Queue the per-KF local BA as bounded slices serviced one per
@@ -1055,6 +1207,7 @@ class SlamSystem:
             kind, fn = self._bg_queue.pop(0)
             with self.timer.span(f"mapping/{kind}"):
                 fn()
+            self._mark_map_update(kind)
 
     def _service_background(self) -> None:
         """One background slice per frame dispatch: queued per-KF mapping
@@ -1063,6 +1216,7 @@ class SlamSystem:
             kind, fn = self._bg_queue.pop(0)
             with self.timer.span(f"mapping/{kind}"):
                 fn()
+            self._mark_map_update(kind)
         else:
             self._service_gba()
 
@@ -1079,7 +1233,24 @@ class SlamSystem:
                 if self.cfg.is_inertial and self.imu_initialized:
                     from orb_slam3_detailed_comments_kor_tpu.slam import inertial
 
-                    if self.ms.K <= 128:
+                    import jax
+
+                    if len(jax.devices()) > 1:
+                        # pod-scale inertial GBA: obs-sharded VI PCG over
+                        # the device mesh (inertial edges replicated)
+                        from orb_slam3_detailed_comments_kor_tpu.parallel import (
+                            dist_vi_ba,
+                        )
+
+                        self.ms, self.ikf, cost = (
+                            dist_vi_ba.distributed_full_inertial_ba(
+                                self.ms, self.ikf, self.gravity,
+                                self.cam_params, self.R_cb, self.t_cb,
+                                self.cfg.camera.bf, iters=2,
+                                cam_model=self.cam_model, rig=self.rig,
+                            )
+                        )
+                    elif self.ms.K <= 128:
                         # dense-Schur whole-map FIBA slice: at these map
                         # sizes the materialized reduced system is ~4.5x
                         # faster on-chip than the matrix-free PCG solve
@@ -1105,6 +1276,7 @@ class SlamSystem:
                     )
             self._gba_chunks_left -= 1
             self._gba_chunks_run += 1
+            self._map_poses_dirty = True
             self._adapt_gba_budget(cost)
 
     # GBA convergence control (weak #5): the fixed 4-chunk budget neither
@@ -1247,6 +1419,10 @@ class SlamSystem:
         self._pre_segments = []
         self._pre_run = None
         self._seg_t = self._last_kf_time
+        # the VIO prior chain is anchored to the dropped window
+        self._vio_prior = None
+        self._vio_state = None
+        self._map_poses_dirty = True
 
     def _integrate_new_samples(self, t: float) -> None:
         """Integrate this frame's IMU samples into one cached segment and
@@ -1349,18 +1525,20 @@ class SlamSystem:
             ir = jnp.asarray(img_r, jnp.float32)
             if pred is not None:
                 R_pred, t_pred, v2 = pred
-                self._track_fisheye_fused(
+                out = self._track_fisheye_fused(
                     il, ir, t, override_pred=(R_pred, t_pred)
                 )
                 self.frame_vel = v2
+                self._vio_refine(out, t)
             else:
                 self._track_fisheye_fused(il, ir, t)
         elif pred is not None:
             R_pred, t_pred, v2 = pred
-            self._track(jnp.asarray(img_l, jnp.float32),
-                        jnp.asarray(img_r, jnp.float32), t,
-                        override_pred=(R_pred, t_pred))
+            out = self._track(jnp.asarray(img_l, jnp.float32),
+                              jnp.asarray(img_r, jnp.float32), t,
+                              override_pred=(R_pred, t_pred))
             self.frame_vel = v2
+            self._vio_refine(out, t)
         else:
             self._track(jnp.asarray(img_l, jnp.float32),
                         jnp.asarray(img_r, jnp.float32), t)
@@ -1394,6 +1572,83 @@ class SlamSystem:
             self.ikf.vel[kf_idx], self.ikf.bg[kf_idx], self.ikf.ba[kf_idx],
             self.gravity, self.R_cb, self.t_cb,
         )
+
+    def _vio_refine(self, out, t: float) -> None:
+        """Per-frame full VI state optimization + marginal prior chain
+        (``PoseInertialOptimizationLastKeyFrame``/``LastFrame``,
+        ``Optimizer.cc:6697,7092``; prior = ``ConstraintPoseImu``,
+        ``G2oTypes.h:703-783``).
+
+        Runs as ONE extra async device dispatch chained on the fused frame
+        step: pose+velocity+biases are refined against the frame's matched
+        observations, the preintegration factor, bias random walks, and the
+        previous state's marginal prior; the previous state is then
+        marginalized out to form the next frame's prior. Variant selection
+        mirrors the reference's ``mbMapUpdated`` branch: after a keyframe
+        insertion or any background slice that rewrote map poses, the
+        chain restarts from the last keyframe's VI state (stiff prior +
+        the window preintegration); otherwise it continues frame-to-frame
+        with the per-frame segment.
+        """
+        if not getattr(self.cfg.tracking, "use_frame_vio", True):
+            return
+        if out is None or not self.imu_initialized:
+            return
+        from orb_slam3_detailed_comments_kor_tpu.optim import vio
+
+        ms, frame, tr = out[0], out[1], out[2]
+        seg = None
+        if self._pre_segments and abs(self._pre_segments[-1][0] - t) < 1e-9:
+            seg = self._pre_segments[-1][1]
+        if (
+            self._vio_prior is None
+            or self._map_poses_dirty
+            or seg is None
+            # the chain prior must belong to the IMMEDIATELY previous
+            # tracked frame (a skipped-VIO frame breaks the chain: the
+            # newest segment no longer starts at the prior's state)
+            or self._last_frame_time != getattr(self, "_vio_prior_t", None)
+        ):
+            # LastKeyFrame variant: prior at the keyframe's CURRENT state,
+            # preintegration over the whole window since it
+            pre = self._pre_run
+            if pre is None:
+                return
+            kf = self.n_kf - 1
+            prior = vio.kf_prior(
+                self.ms.kf_R_cw[kf], self.ms.kf_t_cw[kf],
+                self.ikf.vel[kf], self.ikf.bg[kf], self.ikf.ba[kf],
+                self.R_cb, self.t_cb,
+            )
+            self._map_poses_dirty = False
+        else:
+            # LastFrame variant: marginal prior chain + per-frame segment
+            prior, pre = self._vio_prior, seg
+        with self.timer.span("track/vio"):
+            R_cw, t_cw, cur, nxt, _ = vio.vio_frame_step(
+                ms.lm_pos, tr.lm_feat, tr.lm_inlier,
+                frame.xy, frame.u_right, frame.level, frame.uv_r,
+                tr.R_cw, tr.t_cw, prior, pre,
+                self.cam_params, self.R_cb, self.t_cb, self.gravity,
+                self.rig,
+                bf=self.cfg.camera.bf,
+                scale=self.cfg.orb.scale_factor,
+                cam_model=self.cam_model,
+                min_inliers=self.cfg.tracking.min_inliers_local_map,
+            )
+        self.R_cw, self.t_cw = R_cw, t_cw
+        self.frame_vel = cur.v
+        self._vio_state = cur
+        self._vio_prior = nxt
+        self._vio_prior_t = t
+        # the queued decision entry must carry the REFINED pose so a
+        # keyframe decided from it is inserted there (``_decide`` uses
+        # tr.R_cw); identity check — in degraded states the entry was
+        # already consumed synchronously
+        q = getattr(self, "_pending_decisions", None)
+        if q and q[-1][0] is frame:
+            f, tr0, tq, di, gen = q[-1]
+            q[-1] = (f, tr0._replace(R_cw=R_cw, t_cw=t_cw), tq, di, gen)
 
     # ------------------------------------------------------------------
     # Monocular-inertial mode (System::TrackMonocular with vImuMeas —
@@ -1433,8 +1688,11 @@ class SlamSystem:
         img_j = jnp.asarray(img, jnp.float32)
         if pred is not None:
             R_pred, t_pred, v2 = pred
-            self._track_mono_fused(img_j, t, override_pred=(R_pred, t_pred))
+            out = self._track_mono_fused(
+                img_j, t, override_pred=(R_pred, t_pred)
+            )
             self.frame_vel = v2
+            self._vio_refine(out, t)
         else:
             self._track_mono_fused(img_j, t)
         self._last_frame_time = t
@@ -1454,12 +1712,22 @@ class SlamSystem:
         else:
             vel = jnp.zeros(3)
         self.ikf = inertial.store_preintegration(self.ikf, kf_idx, pre, vel)
-        # carry bias forward
+        # carry bias forward: the per-frame VIO estimate when fresh (the
+        # reference's keyframes inherit the frame's bias, Tracking.cc:3275),
+        # else the previous keyframe's
         if kf_idx > 0:
+            vs = self._vio_state
+            bg_new = vs.bg if (self.imu_initialized and vs is not None) \
+                else self.ikf.bg[kf_idx - 1]
+            ba_new = vs.ba if (self.imu_initialized and vs is not None) \
+                else self.ikf.ba[kf_idx - 1]
             self.ikf = self.ikf._replace(
-                bg=self.ikf.bg.at[kf_idx].set(self.ikf.bg[kf_idx - 1]),
-                ba=self.ikf.ba.at[kf_idx].set(self.ikf.ba[kf_idx - 1]),
+                bg=self.ikf.bg.at[kf_idx].set(bg_new),
+                ba=self.ikf.ba.at[kf_idx].set(ba_new),
             )
+        # the VIO chain restarts from this keyframe (the reference's
+        # LastKeyFrame variant is used right after an insertion)
+        self._map_poses_dirty = True
         # keep samples newer than this keyframe (they belong to the NEXT
         # window — decisions are deferred, so the buffer runs ahead)
         self._imu_buf = [s for s in self._imu_buf if s[0] > t]

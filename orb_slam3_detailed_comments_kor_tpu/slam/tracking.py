@@ -609,19 +609,7 @@ def local_ba_step(
     if rig is not None:
         # rig right-camera rows: one extra mono residual per matched
         # feature through the extrinsic (OptimizableTypes.h ToBody edges)
-        uvr = ms.kf_uvr[win].reshape(-1, 2)
-        n_obs = obs.n
-        obs = factors.Observations(
-            kf=jnp.tile(obs.kf, 2),
-            lm=jnp.tile(obs.lm, 2),
-            uv=jnp.concatenate([obs.uv, uvr]),
-            u_right=-jnp.ones((2 * n_obs,), jnp.float32),
-            inv_sigma2=jnp.tile(obs.inv_sigma2, 2),
-            valid=jnp.concatenate([obs.valid, obs.valid & (uvr[:, 0] >= 0)]),
-            cam=jnp.concatenate([
-                jnp.zeros((n_obs,), jnp.int32), jnp.ones((n_obs,), jnp.int32)
-            ]),
-        )
+        obs = factors.with_rig_rows(obs, ms.kf_uvr[win].reshape(-1, 2))
     res = ba.bundle_adjust(
         ms.kf_R_cw[win],
         ms.kf_t_cw[win],

@@ -94,3 +94,50 @@ class TestDistributedBA:
         np.testing.assert_allclose(
             np.asarray(Xd), np.asarray(res.X), atol=5e-3
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device")
+def test_distributed_vi_ba_matches_single_device():
+    """Obs-sharded whole-map VI GBA (FullInertialBA at pod scale,
+    ``Optimizer.cc:397`` / ``LoopClosing.cc:2287-2289``) must match the
+    single-device matrix-free solver on the same problem."""
+    from orb_slam3_detailed_comments_kor_tpu.optim import vi_ba
+    from orb_slam3_detailed_comments_kor_tpu.parallel import dist_vi_ba
+    from test_vi_ba import BF as VBF, CAM as VCAM, G, build_vi_problem
+
+    st_gt, X_gt, obs, edges = build_vi_problem(n_kf=6)
+    key = jax.random.PRNGKey(21)
+    k1, k2, k3 = jax.random.split(key, 3)
+    xi = 0.01 * jax.random.normal(k1, (6, 6)).at[0].set(0.0)
+    dR, dt = lie.se3_exp(xi)
+    st0 = st_gt._replace(
+        R_bw=dR @ st_gt.R_bw,
+        t_bw=jnp.einsum("kij,kj->ki", dR, st_gt.t_bw) + dt,
+        v=st_gt.v + 0.05 * jax.random.normal(k2, st_gt.v.shape),
+    )
+    X0 = X_gt + 0.02 * jax.random.normal(k3, X_gt.shape)
+    fixed_kf = jnp.zeros((6,), bool).at[0].set(True)
+    fixed_point = jnp.zeros((X_gt.shape[0],), bool)
+
+    mesh = dist_ba.make_mesh(8)
+    st_d, X_d = dist_vi_ba.distributed_vi_ba_cg(
+        mesh, st0, X0, obs, edges, fixed_kf, fixed_point, VCAM,
+        jnp.eye(3), jnp.zeros(3), VBF, G,
+        gyro_walk_info=vi_ba.WALK_INFO_CAP,
+        acc_walk_info=vi_ba.WALK_INFO_CAP, iters=8,
+    )
+    st_s, X_s, _ = vi_ba.vi_bundle_adjust_cg(
+        st0, X0, obs, edges, fixed_kf, fixed_point, VCAM,
+        jnp.eye(3), jnp.zeros(3), VBF, G,
+        gyro_walk_info=vi_ba.WALK_INFO_CAP,
+        acc_walk_info=vi_ba.WALK_INFO_CAP, iters=8,
+    )
+    # recovers ground truth and agrees with the single-device solve
+    assert float(jnp.abs(st_d.t_bw - st_gt.t_bw).max()) < 0.05
+    np.testing.assert_allclose(
+        np.asarray(st_d.t_bw), np.asarray(st_s.t_bw), atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_d.v), np.asarray(st_s.v), atol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(X_d), np.asarray(X_s), atol=5e-3)

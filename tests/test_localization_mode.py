@@ -100,3 +100,37 @@ class TestTimestampJump:
         slam.flush_decisions()
         slam.track_stereo(fr[3][0], fr[3][1], 3 / 20.0 + 10.0)
         assert len(slam.atlas_maps) == 0  # young map dropped, not shelved
+
+
+class TestLocModeTemporalVO:
+    def test_vo_fallback_survives_unmapped_region(self, frames):
+        """Temporal VO points in localization mode (``Tracking.cc:2750``):
+        strafe far past the mapped region with the map frozen — map-only
+        tracking starves, but lifting last-frame stereo depth as temporary
+        points keeps the pose chain alive (and no keyframe is created)."""
+        fr, ts = frames
+        params = jnp.array([FX, FX, W / 2.0, H / 2.0])
+        scene = synthetic.default_scene()
+        slam = SlamSystem(make_cfg())
+        for i in range(14):
+            slam.track_stereo(fr[i][0], fr[i][1], i / 20.0)
+        slam.flush_decisions()
+        assert slam.state == TrackingState.OK
+        slam.activate_localization_mode()
+        n_kf = slam.n_kf
+        # continue the strafe far beyond the mapped span, faster: the
+        # frozen map leaves the frustum but frame-to-frame overlap is high
+        Rs2, ts2 = synthetic.make_trajectory(70, motion="strafe", speed=0.02)
+        last_c = None
+        for i in range(14, 62):
+            il, ir, _ = synthetic.stereo_pair(
+                params, jnp.asarray(Rs2[i]), jnp.asarray(ts2[i]), BASELINE,
+                scene, h=H, w=W,
+            )
+            slam.track_stereo(il, ir, i / 20.0)
+        slam.flush_decisions()
+        assert slam.n_kf == n_kf  # map stayed frozen
+        assert slam.state == TrackingState.OK
+        err = np.linalg.norm(slam.camera_center() - ts2[61])
+        # VO-chained pose drifts but must stay in the right neighbourhood
+        assert err < 0.25, err

@@ -1,0 +1,54 @@
+"""Measure the single-chip GBA LM-iteration time (MULTICHIP_EFFICIENCY's
+TPU_MS_PER_LM_ITER): the exact production PCG-Schur chunk program
+(`optim.ba.bundle_adjust_cg`) on the dist_ba_efficiency problem shapes
+(K=128, L=32768, 262k obs, cg=24), timed on the real chip.
+
+Run (TPU, exclusive): python tools/gba_lm_iter_tpu.py
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import numpy as np
+
+from orb_slam3_detailed_comments_kor_tpu.optim import ba
+from tools.dist_ba_efficiency import CG, ITERS, make_problem
+
+
+def main():
+    R, t, X, obs, fp, fl, cam = make_problem()
+
+    def run(iters):
+        res = ba.bundle_adjust_cg(
+            R, t, X, obs, fp, fl, cam, 0.0, iters=iters, cg_iters=CG
+        )
+        jax.block_until_ready(res.t_cw)
+        return res
+
+    run(ITERS)  # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        run(ITERS)
+    dt = (time.perf_counter() - t0) / reps
+    ms_per_iter = dt * 1e3 / ITERS
+    comm_ms = 0.26  # analytic ICI model, MULTICHIP_EFFICIENCY.md
+    ratio = comm_ms / ms_per_iter
+    # D=8: per-device compute T/8, exposed comm constant
+    eff8 = (ms_per_iter / 8) / (ms_per_iter / 8 + comm_ms)
+    print(json.dumps({
+        "platform": jax.devices()[0].platform,
+        "problem": f"K=128 L=32768 obs=262144 cg={CG}",
+        "tpu_ms_per_lm_iter": round(ms_per_iter, 2),
+        "comm_ms_model": comm_ms,
+        "comm_ratio": round(ratio, 4),
+        "projected_eff_d8": round(eff8, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 import jax
 import jax.numpy as jnp
 import numpy as np
