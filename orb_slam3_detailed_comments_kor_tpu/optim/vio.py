@@ -308,14 +308,20 @@ def kf_prior(kf_R_cw, kf_t_cw, vel, bg, ba, R_cb, t_cb):
     stiff prior at its current state is the masked-static equivalent).
     Used right after a keyframe insertion and whenever background mapping
     rewrote map poses since the last frame (``mbMapUpdated`` analog,
-    ``Tracking.cc:2967-2989``)."""
+    ``Tracking.cc:2967-2989``).
+
+    The POSE is pinned hard (it comes from bundle adjustment); velocity
+    and bias get moderate priors only — with deferred keyframe decisions
+    the stored per-KF velocity is the DECISION frame's estimate, up to a
+    few frames newer than the keyframe itself, and pinning it at σ=1 cm/s
+    measurably degraded ATE vs the pose-prior baseline."""
     R_bc, t_bc = lie.se3_inverse(R_cb, t_cb)
     st = VioState(
         R_bw=R_bc @ kf_R_cw,
         t_bw=R_bc @ kf_t_cw + t_bc,
         v=vel, bg=bg, ba=ba,
     )
-    return strong_prior(st)
+    return strong_prior(st, vel_info=1e2, bias_info=1e3)
 
 
 @functools.partial(
