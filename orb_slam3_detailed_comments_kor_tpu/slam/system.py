@@ -1251,18 +1251,34 @@ class SlamSystem:
                             )
                         )
                     elif self.ms.K <= 128:
-                        # dense-Schur whole-map FIBA slice: at these map
-                        # sizes the materialized reduced system is ~4.5x
-                        # faster on-chip than the matrix-free PCG solve
-                        # (and one slice fits the frame latency budget)
+                        # whole-map FIBA as a SLIDING SWEEP of the
+                        # init-FIBA window program (same static shapes →
+                        # zero new compiles; priors are traced args, set
+                        # to 0 here). An earlier window=K dense slice
+                        # compiled a fresh giant program at the FIRST
+                        # loop closure of a session — a multi-minute
+                        # mid-run stall — and one whole-map slice blew
+                        # the frame latency budget; block-coordinate
+                        # window slices are bounded and already warm.
+                        W = self._INIT_FIBA_WINDOW
+                        n1 = self.n_kf - 1
+                        cur = getattr(self, "_gba_sweep_pos", None)
+                        if cur is None or cur >= n1:
+                            cur = min(W - 1, n1)
+                        else:
+                            cur = min(cur + W, n1)
+                        self._gba_sweep_pos = cur
                         self.ms, self.ikf, cost = inertial.local_vi_ba_step(
-                            self.ms, self.ikf, jnp.int32(self.n_kf - 1),
+                            self.ms, self.ikf, jnp.int32(cur),
                             self.gravity, self.cam_params, self.R_cb,
                             self.t_cb, self.cfg.camera.bf,
-                            window=self.ms.K,
-                            lm_cap=min(self.ms.L, 16384),
-                            iters=1, cam_model=self.cam_model, rig=self.rig,
+                            window=W,
+                            lm_cap=self.cfg.capacity.max_local_landmarks,
+                            iters=2, cam_model=self.cam_model, rig=self.rig,
                         )
+                        # window costs are local subsets — not comparable
+                        # across sweep positions for the chi² budget
+                        cost = None
                     else:
                         self.ms, self.ikf, cost = inertial.full_inertial_ba(
                             self.ms, self.ikf, self.gravity, self.cam_params,
