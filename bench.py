@@ -229,9 +229,16 @@ def main():
         )
         frames_v.append((il.block_until_ready(), ir.block_until_ready()))
     fps_v, ate_v, state_v, p50_v, p99_v = bench_stereo(frames_v, ts)
-    fps_dc, ate_dc, p50_dc, p99_dc = bench_default_capacity(frames_v, ts)
+    # auxiliary segments must never take the headline metrics down
+    try:
+        fps_dc, ate_dc, p50_dc, p99_dc = bench_default_capacity(frames_v, ts)
+    except Exception:
+        fps_dc, ate_dc, p50_dc, p99_dc = -1.0, -1.0, -1.0, -1.0
     del frames_v
-    loop_p50, loop_p99, n_loops = bench_loop_latency()
+    try:
+        loop_p50, loop_p99, n_loops = bench_loop_latency()
+    except Exception:
+        loop_p50, loop_p99, n_loops = -1.0, -1.0, -1
 
     # ---- stereo-inertial workload ---------------------------------------
     traj = synthetic.AnalyticTrajectory()

@@ -89,6 +89,23 @@ def store_preintegration(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("sigma_g", "sigma_a"))
+def advance_imu(batch, bg, ba, sigma_g: float, sigma_a: float, pre_run,
+                kf_R_cw, kf_t_cw, vel, gravity, R_cb, t_cb):
+    """Fused per-frame IMU pipeline (hot inertial path): integrate the
+    frame's sample window, fold it into the running since-keyframe
+    composition, and dead-reckon the camera pose from the last keyframe's
+    VI state — ONE device dispatch instead of three per tracked frame
+    (integrate + compose + predict each cost a dispatch through a remote
+    device tunnel). Returns (segment, run, R_pred, t_pred, v_pred)."""
+    seg = imu_ops.integrate(batch, bg, ba, sigma_g, sigma_a)
+    run = imu_ops.compose(pre_run, seg)
+    R_pred, t_pred, v2 = predict_from_pre(
+        run, kf_R_cw, kf_t_cw, vel, bg, ba, gravity, R_cb, t_cb
+    )
+    return seg, run, R_pred, t_pred, v2
+
+
 @jax.jit
 def predict_from_pre(pre: imu_ops.Preintegrated, kf_R_cw, kf_t_cw, vel,
                      bg, ba, gravity, R_cb, t_cb):

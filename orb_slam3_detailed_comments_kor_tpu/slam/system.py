@@ -1440,14 +1440,13 @@ class SlamSystem:
         self._vio_state = None
         self._map_poses_dirty = True
 
-    def _integrate_new_samples(self, t: float) -> None:
-        """Integrate this frame's IMU samples into one cached segment and
-        fold it into the running window (IMU::Preintegrated incremental
-        ``IntegrateNewMeasurement`` use, ``ImuTypes.cc:254``)."""
+    def _frame_sample_batch(self, t: float):
+        """This frame's IMU samples as a padded ImuBatch, or None before
+        the first keyframe window opens."""
         from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
 
         if self._last_kf_time is None:
-            return
+            return None
         if self._seg_t is None:
             self._seg_t = self._last_kf_time
         start = self._seg_t
@@ -1463,14 +1462,29 @@ class SlamSystem:
             gyro[i] = g
             dt[i] = max(ts - prev, 0.0)
             prev = ts
-        batch = imu_ops.ImuBatch(
+        return imu_ops.ImuBatch(
             acc=jnp.asarray(acc), gyro=jnp.asarray(gyro), dt=jnp.asarray(dt),
             valid=jnp.arange(cap) < len(buf),
         )
-        kf_idx = max(self.n_kf - 1, 0)
+
+    def _imu_sigmas(self):
         imu_cfg = self.cfg.imu
-        sg = float(imu_cfg.noise_gyro * np.sqrt(imu_cfg.frequency))
-        sa = float(imu_cfg.noise_acc * np.sqrt(imu_cfg.frequency))
+        return (
+            float(imu_cfg.noise_gyro * np.sqrt(imu_cfg.frequency)),
+            float(imu_cfg.noise_acc * np.sqrt(imu_cfg.frequency)),
+        )
+
+    def _integrate_new_samples(self, t: float) -> None:
+        """Integrate this frame's IMU samples into one cached segment and
+        fold it into the running window (IMU::Preintegrated incremental
+        ``IntegrateNewMeasurement`` use, ``ImuTypes.cc:254``)."""
+        from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
+
+        batch = self._frame_sample_batch(t)
+        if batch is None:
+            return
+        kf_idx = max(self.n_kf - 1, 0)
+        sg, sa = self._imu_sigmas()
         pre = imu_ops.integrate_j(
             batch, self.ikf.bg[kf_idx], self.ikf.ba[kf_idx], sg, sa
         )
@@ -1480,6 +1494,43 @@ class SlamSystem:
             else imu_ops.compose_j(self._pre_run, pre)
         )
         self._seg_t = t
+
+    def _advance_imu(self, t: float):
+        """Fused hot path: per-frame integrate + window compose + predict
+        in ONE dispatch (``inertial.advance_imu``). Returns the prediction
+        tuple or None (pre-init / suppressed / no window), falling back to
+        the unfused bookkeeping path when prediction isn't wanted."""
+        from orb_slam3_detailed_comments_kor_tpu.ops import imu as imu_ops
+        from orb_slam3_detailed_comments_kor_tpu.slam import inertial
+
+        want_pred = (
+            self.imu_initialized
+            and getattr(self, "_suppress_imu_pred", 0) <= 0
+            and self._last_kf_time is not None
+        )
+        if not want_pred:
+            self._integrate_new_samples(t)
+            return self._imu_predicted_pose()
+        batch = self._frame_sample_batch(t)
+        if batch is None:
+            return self._imu_predicted_pose()
+        kf_idx = max(self.n_kf - 1, 0)
+        sg, sa = self._imu_sigmas()
+        pre_run = (
+            self._pre_run if self._pre_run is not None
+            else imu_ops.identity_preintegrated()._replace(
+                bias_g=self.ikf.bg[kf_idx], bias_a=self.ikf.ba[kf_idx]
+            )
+        )
+        seg, run, R_pred, t_pred, v2 = inertial.advance_imu(
+            batch, self.ikf.bg[kf_idx], self.ikf.ba[kf_idx], sg, sa,
+            pre_run, self.ms.kf_R_cw[kf_idx], self.ms.kf_t_cw[kf_idx],
+            self.ikf.vel[kf_idx], self.gravity, self.R_cb, self.t_cb,
+        )
+        self._pre_segments.append((t, seg))
+        self._pre_run = run
+        self._seg_t = t
+        return R_pred, t_pred, v2
 
     def _window_pre_consume(self, t_end: float):
         """Compose the cached segments covering (last_kf_time, t_end] and
@@ -1533,9 +1584,8 @@ class SlamSystem:
             self._last_frame_time = t
             return st
 
-        self._integrate_new_samples(t)
-        # IMU prediction for the tracking front-end
-        pred = self._imu_predicted_pose()
+        # fused per-frame IMU pipeline: integrate + compose + predict
+        pred = self._advance_imu(t)
         if self.stereo_fisheye:
             il = jnp.asarray(img_l, jnp.float32)
             ir = jnp.asarray(img_r, jnp.float32)
@@ -1697,10 +1747,9 @@ class SlamSystem:
             self._last_frame_time = t
             return st
 
-        self._integrate_new_samples(t)
         cam = self.cfg.camera
         self.n_frames += 1
-        pred = self._imu_predicted_pose()
+        pred = self._advance_imu(t)
         img_j = jnp.asarray(img, jnp.float32)
         if pred is not None:
             R_pred, t_pred, v2 = pred

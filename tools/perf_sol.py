@@ -15,7 +15,10 @@ Run (TPU, exclusive): PYTHONPATH=/root/.axon_site:/root/repo \
 """
 
 import json
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 import jax.numpy as jnp
