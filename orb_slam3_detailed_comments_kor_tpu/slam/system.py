@@ -2231,6 +2231,36 @@ class SlamSystem:
                     break
         if not ok:
             return
+        # ---- drift-plausibility gate --------------------------------------
+        # A loop correction's displacement of the current keyframe cannot
+        # exceed the drift the trajectory could have accumulated since the
+        # candidate — a generous fraction of the arc length between them.
+        # Perceptual aliasing in self-similar environments (two sections of
+        # the same corridor) passes BoW + reprojection verification with a
+        # multi-metre warp that no odometry drift can explain; observed on
+        # the 3,000-frame corridor run (3.86 m false closure at ~5 m of
+        # travel → 0.43 m map warp). The reference leans on its 1M-word
+        # real-imagery vocabulary for distinctiveness; a geometric budget
+        # is the model-free equivalent.
+        lo, hi = (cand, kf_idx) if cand <= kf_idx else (kf_idx, cand)
+        Rseg = np.asarray(self.ms.kf_R_cw[lo:hi + 1])
+        tseg = np.asarray(self.ms.kf_t_cw[lo:hi + 1])
+        centers = -np.einsum("kji,kj->ki", Rseg, tseg)
+        arc = float(np.linalg.norm(np.diff(centers, axis=0), axis=1).sum())
+        c_cur = centers[-1] if cand <= kf_idx else centers[0]
+        warp_c = (
+            float(np.asarray(s_d)) * (np.asarray(R_d) @ c_cur)
+            + np.asarray(t_d)
+        )
+        disp = float(np.linalg.norm(warp_c - c_cur))
+        allowed = 0.4 * arc + 10.0 * max(self.baseline, 0.01)
+        if disp > allowed:
+            self.stats["loops_rejected_gate"] = (
+                self.stats.get("loops_rejected_gate", 0) + 1
+            )
+            lc._hyp = None
+            lc._consecutive = 0
+            return
         R_kf_old = self.ms.kf_R_cw[kf_idx]
         t_kf_old = self.ms.kf_t_cw[kf_idx]
         if self.cfg.is_inertial:
