@@ -228,14 +228,18 @@ def main():
             h=H, w=W,
         )
         frames_v.append((il.block_until_ready(), ir.block_until_ready()))
+    bench_t0 = time.time()
     fps_v, ate_v, state_v, p50_v, p99_v = bench_stereo(frames_v, ts)
-    # auxiliary segments must never take the headline metrics down
+    # auxiliary segments must never take the headline metrics down (and
+    # self-skip if compiles already ate the time budget)
     try:
+        assert time.time() - bench_t0 < 1500
         fps_dc, ate_dc, p50_dc, p99_dc = bench_default_capacity(frames_v, ts)
     except Exception:
         fps_dc, ate_dc, p50_dc, p99_dc = -1.0, -1.0, -1.0, -1.0
     del frames_v
     try:
+        assert time.time() - bench_t0 < 2100
         loop_p50, loop_p99, n_loops = bench_loop_latency()
     except Exception:
         loop_p50, loop_p99, n_loops = -1.0, -1.0, -1
