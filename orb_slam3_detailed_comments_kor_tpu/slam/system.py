@@ -2253,7 +2253,13 @@ class SlamSystem:
             + np.asarray(t_d)
         )
         disp = float(np.linalg.norm(warp_c - c_cur))
-        allowed = 0.4 * arc + 10.0 * max(self.baseline, 0.01)
+        # metric modes (stereo / RGB-D / inertial): visual-inertial drift
+        # is a few percent of distance traveled, so 15 % of arc is already
+        # generous; mono keeps a looser budget because scale drift warps
+        # positions superlinearly. (The corridor run's second false
+        # closure — 6.5 m apart on a ~16 m arc — passed a 0.4 budget.)
+        frac = 0.4 if mode == "sim3" else 0.15
+        allowed = frac * arc + 10.0 * max(self.baseline, 0.01)
         if disp > allowed:
             self.stats["loops_rejected_gate"] = (
                 self.stats.get("loops_rejected_gate", 0) + 1
