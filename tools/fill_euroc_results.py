@@ -48,9 +48,16 @@ def main(loop_json, corr_json, md="EUROC_RESULTS.md"):
         f"{corr['stats'].get('kf_evicted', 0)} evicted.\n"
         f"- **Accuracy**: RMS ATE {loop['ate_m']*1000:.1f} mm over the full "
         f"loop trajectory ({loop['ate_last50s_m']*1000:.1f} mm over the "
-        f"last 50 s), {corr['ate_m']*1000:.1f} mm over the corridor "
-        f"out-and-back ({corr['ate_last50s_m']*1000:.1f} mm last 50 s) — "
-        f"within the ≤ 0.08 m bar VERDICT r3 #2 set.\n"
+        f"last 50 s) — {'within' if loop['ate_m'] <= 0.08 else 'OVER'} the "
+        f"≤ 0.08 m bar. Corridor: {corr['ate_m']*1000:.1f} mm "
+        f"({corr['ate_last50s_m']*1000:.1f} mm last 50 s) — "
+        f"{'within' if corr['ate_m'] <= 0.08 else 'OVER'} the bar; see the "
+        f"round-4 findings below — this corridor run executed BEFORE the "
+        f"tightened 15%-of-arc drift budget landed, and its return-leg "
+        f"aliased closure (hypothesis path, 6.5 m apart) is the dominant "
+        f"error term. The first aliased closure (frame 951) WAS rejected "
+        f"by the gate in this run (loops stayed 0 through the outbound "
+        f"leg, vs a 0.43 m warp at frame 951 in the ungated attempt).\n"
         f"- **Loop closing at scale**: {loop['n_loops_closed']} closure(s) "
         f"on the loop run and {corr['n_loops_closed']} on the corridor "
         f"return leg, each against keyframes protected through hundreds of "
