@@ -4,6 +4,13 @@ TPU_MS_PER_LM_ITER): the exact production PCG-Schur chunk program
 (K=128, L=32768, 262k obs, cg=24), timed on the real chip.
 
 Run (TPU, exclusive): python tools/gba_lm_iter_tpu.py
+
+CAVEAT (round-4 finding): through the remote axon tunnel this printed
+0.04 ms/LM-iter — ~30x BELOW the HBM bandwidth floor of the program
+(~1 GB of A-block traffic per iteration → ≥1.2 ms at 819 GB/s), i.e.
+``block_until_ready`` did not actually synchronize the timed dispatches.
+Treat the output as valid only on a locally-attached chip; on the tunnel
+use a value-dependent sync (np.asarray of an output scalar) instead.
 """
 
 import json
