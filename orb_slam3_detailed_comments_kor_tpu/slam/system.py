@@ -1855,13 +1855,15 @@ class SlamSystem:
                 # priorG=1e2, priorA=1e5, ``Optimizer.cc:397``) — snaps the
                 # visual-only map onto the IMU-consistent trajectory. The
                 # init-time map is tiny (~8-16 KFs), so the dense-Schur
-                # windowed form IS the full map; one 2-iteration slice runs
-                # now (tracking needs IMU-consistent poses immediately for
-                # prediction) and two more drain over the next frames —
-                # the synchronous whole-capacity solve this replaces held
-                # the device queue for >1 s at exactly this moment.
-                self.ms, self.ikf, _ = self._init_fiba_slice()
-                for _ in range(2):
+                # windowed form IS the full map. ALL three slices ride the
+                # background queue: the reference runs bFIBA in the
+                # LocalMapping thread while tracking continues on the
+                # pre-FIBA map (``LocalMapping.cc:1712``), and the
+                # velocities/biases InertialOptimization just estimated
+                # are already good enough for one frame of prediction —
+                # an inline first slice held this frame ~60-100 ms and
+                # was the dominant si_p99 spike in the bench latency pass.
+                for _ in range(3):
                     self._bg_push("init_fiba", self._init_fiba_apply)
             elif self.n_kf >= 2:
                 # before IMU init the solve must converge before the init
