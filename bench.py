@@ -137,41 +137,95 @@ def bench_stereo_inertial(frames, imu_per_frame, gt_pos):
     return N_FRAMES / wall, float(rmse), slam.state, p50, p99
 
 
+N_LOOP = 150
+INJECT_AT = 80
+
+
+def _inject_drift(slam, mag=0.35, yaw=0.03):
+    """Warp the newest third of the map + the live pose by a rigid drift D
+    — the state a long drifting circuit produces (the recipe of
+    tests/test_loop_injected.py applied mid-run). Late keyframes'
+    observations of EARLY landmarks are cleared so the drifted submap is
+    self-consistent and covisibility-disconnected from the early map; the
+    return leg then re-maps the revisited region in the drifted frame and
+    loop detection → Sim3 verification → correction → chunked GBA all fire
+    NATURALLY inside the blocking pass. (A zero-drift synthetic revisit is
+    not a loop at all: the tracker just re-matches the old landmarks and
+    stays covisibility-connected, which the candidate search rightly
+    excludes — ``KeyFrameDatabase.cc:228`` spConnectedKF; that is why the
+    r4 outback pass closed zero loops.)"""
+    from orb_slam3_detailed_comments_kor_tpu.utils import lie
+
+    ms = slam.ms
+    cut = 2 * slam.n_kf // 3
+    K = ms.K
+    R_d, t_d = lie.se3_exp(
+        jnp.array([0.0, yaw, 0.0, mag * 0.7, mag * 0.7, 0.0])
+    )
+    Rd_i, td_i = lie.se3_inverse(R_d, t_d)
+    late_kf = jnp.arange(K) >= cut
+    R_new, t_new = lie.se3_compose(
+        ms.kf_R_cw, ms.kf_t_cw,
+        jnp.broadcast_to(Rd_i, (K, 3, 3)), jnp.broadcast_to(td_i, (K, 3)),
+    )
+    late_lm = ms.lm_valid & (ms.lm_first_kf >= cut)
+    X_new = ms.lm_pos @ R_d.T + t_d
+    early_lm_obs = (ms.obs_lm >= 0) & (
+        ms.lm_first_kf[jnp.clip(ms.obs_lm, 0)] < cut
+    )
+    clear = late_kf[:, None] & early_lm_obs
+    slam.ms = ms._replace(
+        kf_R_cw=jnp.where(late_kf[:, None, None], R_new, ms.kf_R_cw),
+        kf_t_cw=jnp.where(late_kf[:, None], t_new, ms.kf_t_cw),
+        lm_pos=jnp.where(late_lm[:, None], X_new, ms.lm_pos),
+        obs_lm=jnp.where(clear, -1, ms.obs_lm),
+    )
+    slam.R_cw, slam.t_cw = lie.se3_compose(slam.R_cw, slam.t_cw, Rd_i, td_i)
+    slam.has_velocity = False
+
+
 def bench_loop_latency():
-    """Latency pass that CONTAINS a loop closure (VERDICT r3 #9: the
-    plain passes never trigger one, so correction-slice frames were
-    invisible to p99). Out-and-back strafe: the return leg re-enters the
-    mapped region and the loop detection + correction + chunked GBA all
-    ride the background queue inside the blocking pass."""
+    """Latency pass that CONTAINS a real loop closure (VERDICT r3 #9 /
+    r4 #4): out-and-back with a drift injection at the turn; detection,
+    verification, correction and the chunked GBA all ride the background
+    queue inside the blocking pass and show up in the percentiles."""
     from orb_slam3_detailed_comments_kor_tpu.io import synthetic
     from orb_slam3_detailed_comments_kor_tpu.slam.system import SlamSystem
 
     cfg = build_config(False)
     params = jnp.array([FX, FX, W / 2.0, H / 2.0])
     scene = synthetic.default_scene()
-    Rs, ts = synthetic.make_trajectory(N_FRAMES, motion="outback", speed=0.045)
+    Rs, ts = synthetic.make_trajectory(N_LOOP, motion="outback", speed=0.045)
     frames = []
-    for i in range(N_FRAMES):
+    for i in range(N_LOOP):
         il, ir, _ = synthetic.stereo_pair(
             params, jnp.asarray(Rs[i]), jnp.asarray(ts[i]), BASELINE, scene,
             h=H, w=W,
         )
         frames.append((il.block_until_ready(), ir.block_until_ready()))
 
-    warm = SlamSystem(cfg)
-    for i in range(N_FRAMES):
-        warm.track_stereo(frames[i][0], frames[i][1], i / FPS)
+    def run(slam, lat=None):
+        for i in range(N_LOOP):
+            if i == INJECT_AT:
+                slam.flush_decisions()
+                _inject_drift(slam)
+            t0 = time.perf_counter()
+            slam.track_stereo(frames[i][0], frames[i][1], i / FPS)
+            if lat is not None:
+                jax.block_until_ready(slam.t_cw)
+                lat.append((time.perf_counter() - t0) * 1e3)
+        return slam
+
+    # warm pass runs the SAME injection so detection/correction/GBA
+    # programs are compiled before the timed pass
+    warm = run(SlamSystem(cfg))
     warm.flush_decisions()
     jax.block_until_ready(warm.t_cw)
     del warm
 
     slam = SlamSystem(cfg)
     lat = []
-    for i in range(N_FRAMES):
-        t0 = time.perf_counter()
-        slam.track_stereo(frames[i][0], frames[i][1], i / FPS)
-        jax.block_until_ready(slam.t_cw)
-        lat.append((time.perf_counter() - t0) * 1e3)
+    run(slam, lat)
     loops = slam.loop_closer.n_loops_closed
     lat = np.array(lat[5:])
     return (

@@ -62,6 +62,12 @@ class CameraConfig:
     # depth threshold multiple of baseline for "close" points
     # (reference ThDepth, EuRoC.yaml:44)
     th_depth: float = 35.0
+    # discard map points farther than this many metres from the camera in
+    # per-frame association and mapping-time triangulation; 0 = disabled
+    # (reference ``thFarPoints``, ``System.cc:113-116`` /
+    # ``Tracking.cc:3524`` / ``LocalMapping.cc:923``; present only in some
+    # YAMLs, e.g. TUM_512_outdoors.yaml:79)
+    th_far_points: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

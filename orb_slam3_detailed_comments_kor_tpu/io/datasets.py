@@ -152,6 +152,7 @@ def load_settings(path: str, sensor: int) -> "Settings":
         tlr=tlr,
         fps=float(g("Camera.fps", 20.0)),
         th_depth=float(g("ThDepth", 35.0)),
+        th_far_points=float(g("thFarPoints", 0.0)),
     )
     orb = cfgm.ORBConfig(
         n_features=int(g("ORBextractor.nFeatures", 1200)),

