@@ -148,7 +148,7 @@ def frame_vi_optimize(
     gravity: jnp.ndarray,
     gyro_walk_info: float = 1e4,
     acc_walk_info: float = 1e3,
-    iters: int = 6,
+    iters: int = 4,
     cam_model: str = "pinhole",
     uv_r=None,
     rig=None,
@@ -232,50 +232,59 @@ def frame_vi_optimize(
         return jnp.sum(rs * rs) + c_vis
 
     def gn_iter(carry, _):
-        prev, cur, active, lam, best = carry
+        """Damped GN iteration with ONE vis_blocks evaluation.
+
+        The r4 body evaluated vis_blocks THREE times per iteration (step
+        Hessian, candidate cost, post-step regate) plus a second
+        small-residual pass — on the chip that tripled the estimator's
+        obs-side work and made vio_frame_step the single largest SI
+        per-frame cost (measured ~3x the fused tracker itself,
+        tools/prof_micro.py). One evaluation now serves the step AND the
+        regate (which therefore lags one iteration — the same cadence as
+        the reference's between-rounds chi² regating, Optimizer.cc:831);
+        divergence is caught by the whole-solve cost guard below instead
+        of per-step acceptance."""
+        prev, cur, active, lam = carry
+        Hv, bv, _, chi2, dok = vis_blocks(cur, active)
         x0 = jnp.zeros(30)
         f = lambda x: small_residuals(x, prev, cur)
         r_s = f(x0)
         J_s = jax.jacfwd(f)(x0)                # [30_res, 30]
         H = J_s.T @ J_s
         b = -J_s.T @ r_s
-        Hv, bv, _, _, _ = vis_blocks(cur, active)
         H = H.at[15:21, 15:21].add(Hv)
         b = b.at[15:21].add(bv)
         # damped solve with Jacobi scaling (information spans decades)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(30)
         d = jnp.sqrt(jnp.clip(jnp.diag(Hd), 1e-12, None))
         dx = jnp.linalg.solve(Hd / d[:, None] / d[None, :], b / d) / d
+        ok_dx = jnp.isfinite(dx).all()
+        dx = jnp.where(ok_dx, dx, jnp.zeros_like(dx))
         dRp, dtp = lie.se3_exp(dx[0:6])
-        prev_new = VioState(
+        prev = VioState(
             R_bw=dRp @ prev.R_bw, t_bw=dRp @ prev.t_bw + dtp,
             v=prev.v + dx[6:9], bg=prev.bg + dx[9:12], ba=prev.ba + dx[12:15],
         )
         dRc, dtc2 = lie.se3_exp(dx[15:21])
-        cur_new = VioState(
+        cur = VioState(
             R_bw=dRc @ cur.R_bw, t_bw=dRc @ cur.t_bw + dtc2,
             v=cur.v + dx[21:24], bg=cur.bg + dx[24:27], ba=cur.ba + dx[27:30],
         )
-        cost_new = total_cost(prev_new, cur_new, active)
-        accept = (cost_new < best) & jnp.isfinite(dx).all()
-        prev = jax.tree.map(lambda n, o: jnp.where(accept, n, o),
-                            prev_new, prev)
-        cur = jax.tree.map(lambda n, o: jnp.where(accept, n, o),
-                           cur_new, cur)
-        lam = jnp.where(accept, lam * 0.33, lam * 4.0)
-        best = jnp.where(accept, cost_new, best)
-        # chi² re-gate on the full set (outliers can recover; the
-        # reference regates between its 4 rounds, Optimizer.cc:831)
-        _, _, _, chi2, dok = vis_blocks(cur, obs.valid)
+        # chi² re-gate for the NEXT iteration, from this iteration's
+        # residuals (outliers can recover; one-iteration lag)
         active = obs.valid & dok & (chi2 <= delta2)
-        return (prev, cur, active, lam, best), None
+        lam = lam * 0.5  # fixed annealing; the cost guard bounds divergence
+        return (prev, cur, active, lam), None
 
     active0 = obs.valid
-    cost0 = total_cost(prev0, cur0, active0)
-    (prev_f, cur_f, active_f, _, _), _ = jax.lax.scan(
-        gn_iter, (prev0, cur0, active0, jnp.float32(1e-3), cost0),
+    (prev_f, cur_f, active_f, _), _ = jax.lax.scan(
+        gn_iter, (prev0, cur0, active0, jnp.float32(1e-3)),
         None, length=iters,
     )
+    # divergence safety lives in the caller: vio_frame_step falls back to
+    # the IMU-predicted state on non-finite output or low visual support
+    # (the PredictStateIMU degradation path); a per-solve cost guard here
+    # cost two extra full residual evaluations per frame
     cur_f = cur_f._replace(R_bw=lie.project_to_so3(cur_f.R_bw))
 
     # ---- marginalize the previous state (ConstraintPoseImu production) ---

@@ -41,7 +41,7 @@ class LoopCloser:
         vocab_k: int = 8,
         vocab_depth: int = 3,
         min_gap: int = 10,
-        min_score: float = 0.12,
+        min_score: float = 0.20,
         min_inliers: int = 20,
         consistency: int = 3,
         vocab: "voc.Vocabulary" = None,
@@ -115,8 +115,9 @@ class LoopCloser:
                     if len(d) == 0:
                         continue
                     v = jnp.ones((d.shape[0],), bool)
-                    words = voc.transform(self.vocab, jnp.asarray(d), v)
-                    ids, wts = voc.sparse_bow(self.vocab, words, v)
+                    ids, wts = voc.sparse_bow_soft_from_desc(
+                        self.vocab, jnp.asarray(d), v
+                    )
                     self.db_words = self.db_words.at[idx].set(ids)
                     self.db_wts = self.db_wts.at[idx].set(wts)
             return
@@ -377,8 +378,10 @@ class LoopCloser:
 def _add_kf_core(db_words, db_wts, kf_idx, desc_bits, valid, centroids, idf,
                  k, depth):
     vocab = voc.Vocabulary(centroids=centroids, k=k, depth=depth, idf=idf)
-    words = voc.transform(vocab, desc_bits, valid)
-    ids, wts = voc.sparse_bow(vocab, words, valid)
+    # exact soft top-K assignment (r5 scheme — see vocabulary.SOFT_K and
+    # VOCAB_EVAL.md: vs tree-descent hard words this lifted warped
+    # recall@3 0.77 -> 0.88 at matched FP on the held-out eval)
+    ids, wts = voc.sparse_bow_soft_from_desc(vocab, desc_bits, valid)
     return db_words.at[kf_idx].set(ids), db_wts.at[kf_idx].set(wts)
 
 

@@ -35,7 +35,7 @@ def detect_merge_candidate(
     bow_cur,
     shelved_db,
     n_kf_shelved: int,
-    min_score: float = 0.15,
+    min_score: float = 0.20,
 ) -> Tuple[int, float]:
     """Score the current keyframe's sparse BoW row against a shelved
     map's database (KeyFrameDatabase::DetectNBestCandidates merge path).
@@ -496,6 +496,54 @@ def try_merge(slam) -> bool:
         )
         if not ok:
             continue
+        if not _merge_gate_allows(slam, shelf, R_d, t_d):
+            slam.stats["merges_rejected_gate"] = (
+                slam.stats.get("merges_rejected_gate", 0) + 1
+            )
+            continue
         if merge_into_shelved(slam, shelf_idx, kf_cur, cand, R_d, t_d):
             return True
     return False
+
+
+def _merge_gate_allows(slam, shelf, R_d, t_d) -> bool:
+    """Merge-plausibility gate (the cross-map analog of the loop-closing
+    drift gate, ``system._loop_gate_allows``): the new map was born at the
+    old map's last tracked pose, so the merge transform D (new->old,
+    X_old = R_d X + t_d) must stay within drift-plausible range of
+    D_expected = T_cw_loss^-1. Aliased merges in self-similar environments
+    pass BoW + PnP verification with transforms tens of metres off (r5
+    corridor run, frame ~2400: a 40 m warp); honest splits re-join within
+    the drift accumulated since the split. Metric modes only — mono scale
+    drift makes the prior unreliable. Missing prior (old shelves,
+    reloc-switch shelves) skips the gate."""
+    from orb_slam3_detailed_comments_kor_tpu.config import SensorType
+
+    prior = shelf.get("merge_prior")
+    if prior is None or slam.cfg.sensor == SensorType.MONOCULAR:
+        return True
+    R_loss, t_loss, _t = prior
+    c = np.asarray(slam.camera_center())
+    d_hyp = np.asarray(R_d) @ c + np.asarray(t_d)
+    d_exp = R_loss.T @ (c - t_loss)
+    disp = float(np.linalg.norm(d_hyp - d_exp))
+    # arc traveled in the NEW map since the split (keyframe centers)
+    n = slam.n_kf
+    Rk = np.asarray(slam.ms.kf_R_cw[:n])
+    tk = np.asarray(slam.ms.kf_t_cw[:n])
+    centers = -np.einsum("kji,kj->ki", Rk, tk)
+    arc = float(np.linalg.norm(np.diff(centers, axis=0), axis=1).sum())
+    # Base term: motion while tracking is lost is only loosely bounded (a
+    # covered camera can be carried), so the base is metres, not the loop
+    # gate's centimetre floor; the gate exists to kill the tens-of-metres
+    # aliases, not honest hand-offs. Plus unbounded-arc drift for the
+    # post-split mapped excursion and the blackout duration.
+    t_loss = prior[2] if len(prior) > 2 else 0.0
+    kt = slam._host_kf_times()
+    gap_s = max(float(kt[0]) - t_loss, 0.0) if len(kt) else 0.0
+    budget = (
+        2.0 + 10.0 * max(slam.baseline, 0.01)
+        + 0.25 * arc
+        + 1.0 * min(gap_s, 10.0)
+    )
+    return disp <= budget

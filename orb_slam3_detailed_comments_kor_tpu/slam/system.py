@@ -733,13 +733,30 @@ class SlamSystem:
             self.state = TrackingState.OK
             return
         self.n_lost_frames += 1
-        if self.n_lost_frames < 20:
+        # RECENTLY_LOST budget before hard loss: with an initialized IMU
+        # the tracker coasts on dead-reckoned predictions and keeps trying
+        # to re-acquire for ``time_recently_lost`` seconds (reference
+        # ``Tracking.cc:1904-1917``; the r5 corridor run died to a 1 s
+        # budget in a low-texture stretch the 5 s coast survives); without
+        # an IMU the prediction decays fast, so hold only ~1 s of
+        # relocalization attempts before Atlas elasticity takes over.
+        if self.cfg.is_inertial and getattr(self, "imu_initialized", False):
+            budget = max(
+                20,
+                int(round(
+                    self.cfg.tracking.time_recently_lost
+                    * max(self.cfg.camera.fps, 1.0)
+                )),
+            )
+        else:
+            budget = 20
+        if self.n_lost_frames < budget:
             self.state = TrackingState.RECENTLY_LOST
             self.has_velocity = False
             return
         self.state = TrackingState.LOST
         self.has_velocity = False
-        if self.n_lost_frames == 20:  # act once on the transition
+        if self.n_lost_frames == budget:  # act once on the transition
             if self.n_kf >= 10:
                 self._create_map_in_atlas()
             else:
@@ -766,6 +783,18 @@ class SlamSystem:
             "gen": self._map_gen,
             "kf_times": list(self._host_kf_times()),
             "kf_lowq": list(getattr(self, "_kf_lowq_host", []) or []),
+            # expected transform of a FUTURE merge back into this map: the
+            # next map's world frame is (approximately) this camera frame
+            # at the moment of loss, so the new->old map transform should
+            # stay near T_cw_loss^-1 up to the drift accumulated after the
+            # split. The merge gate (map_merging.try_merge) rejects
+            # hypotheses wildly off this prior — perceptual aliasing
+            # passes BoW + PnP verification across maps too (r5 corridor:
+            # an aliased cross-map merge warped the pose by ~40 m).
+            "merge_prior": (
+                np.asarray(self.R_cw), np.asarray(self.t_cw),
+                float(getattr(self, "_last_track_time", 0.0) or 0.0),
+            ),
         }
         if self.cfg.is_inertial:
             # inertial maps keep their VI state so a later merge
@@ -859,9 +888,8 @@ class SlamSystem:
 
         if lc.vocab is None or n_kf < 1:
             return None
-        q_ids, q_wts = voc.sparse_bow(
-            lc.vocab, voc.transform(lc.vocab, frame.desc, frame.valid),
-            frame.valid,
+        q_ids, q_wts = voc.sparse_bow_soft_from_desc(
+            lc.vocab, frame.desc, frame.valid,
         )
         # full-capacity scoring with a mask (a [:n_kf] slice would recompile
         # the scoring program at every map size)
@@ -1173,7 +1201,7 @@ class SlamSystem:
                 fn()
             self._mark_map_update(kind)
 
-    def _schedule_local_ba(self, kf_idx: int, chunks: int = 3) -> None:
+    def _schedule_local_ba(self, kf_idx: int, chunks: int = 2) -> None:
         """Queue the per-KF local BA as bounded slices serviced one per
         subsequent frame dispatch. A newer keyframe aborts the previous
         window's remaining slices and restarts at its own window — the

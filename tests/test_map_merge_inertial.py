@@ -24,7 +24,11 @@ def merged_vi_run():
     cfg = vi_config()
     cfg = dataclasses.replace(
         cfg, tracking=dataclasses.replace(
-            cfg.tracking, max_frames_between_kf=4
+            cfg.tracking, max_frames_between_kf=4,
+            # shorten the inertial RECENTLY_LOST coast (production default
+            # 5 s = 100 frames, Tracking.cc:1904-1917) so the 24 black
+            # frames below reach hard loss and shelve the map
+            time_recently_lost=0.8,
         ),
     )
     slam = SlamSystem(cfg)

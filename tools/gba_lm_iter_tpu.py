@@ -29,18 +29,27 @@ from tools.dist_ba_efficiency import CG, ITERS, make_problem
 def main():
     R, t, X, obs, fp, fl, cam = make_problem()
 
-    def run(iters):
-        res = ba.bundle_adjust_cg(
+    def dispatch(iters):
+        return ba.bundle_adjust_cg(
             R, t, X, obs, fp, fl, cam, 0.0, iters=iters, cg_iters=CG
         )
-        jax.block_until_ready(res.t_cw)
-        return res
 
-    run(ITERS)  # compile
+    def vsync(res):
+        # VALUE-dependent sync: through the axon tunnel
+        # ``block_until_ready`` returned before the device finished (r4
+        # printed 0.04 ms/LM-iter, ~30x below the kernel's HBM floor);
+        # an actual device->host copy of an output element is the only
+        # reliable barrier. TPU executes its queue in order, so syncing
+        # the LAST rep's output bounds all previous dispatches too.
+        np.asarray(jax.numpy.ravel(res.t_cw)[:1])
+
+    vsync(dispatch(ITERS))  # compile + warm
     t0 = time.perf_counter()
     reps = 5
+    res = None
     for _ in range(reps):
-        run(ITERS)
+        res = dispatch(ITERS)
+    vsync(res)
     dt = (time.perf_counter() - t0) / reps
     ms_per_iter = dt * 1e3 / ITERS
     comm_ms = 0.26  # analytic ICI model, MULTICHIP_EFFICIENCY.md

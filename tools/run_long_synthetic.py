@@ -216,8 +216,9 @@ def main(n_frames=3000, out_prefix="/tmp/long_synth", traj_kind="loop"):
     ts, centers, R_wc = slam.trajectory_arrays()
     trajectory.save_euroc(out_prefix + "_traj.txt", ts, centers, R_wc)
     n = min(len(centers), len(gt))
+    lo = max(n - 1000, 0)  # guard short LONG_STOP_AT smoke runs
     rmse_full = float(ate.ate_rmse(centers[:n], gt[:n]))
-    rmse_tail = float(ate.ate_rmse(centers[n - 1000:n], gt[n - 1000:n]))
+    rmse_tail = float(ate.ate_rmse(centers[lo:n], gt[lo:n]))
     result = {
         "trajectory": traj_kind,
         "n_frames": n_frames,
