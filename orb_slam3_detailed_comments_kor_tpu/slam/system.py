@@ -1450,19 +1450,18 @@ class SlamSystem:
             # in the buffer); integrating them would double-count motion
             buf = [s for s in buf if s[0] > self._last_kf_time]
         buf = buf[:cap]
-        n = len(buf)
-        acc = np.zeros((cap, 3), np.float32)
-        gyro = np.zeros((cap, 3), np.float32)
-        dt = np.zeros((cap,), np.float32)
+        pk = np.zeros((cap, 8), np.float32)
         prev_t = self._last_kf_time
         for i, (t, a, g) in enumerate(buf):
-            acc[i] = a
-            gyro[i] = g
-            dt[i] = max(t - prev_t, 0.0)
+            pk[i, 0:3] = a
+            pk[i, 3:6] = g
+            pk[i, 6] = max(t - prev_t, 0.0)
+            pk[i, 7] = 1.0
             prev_t = t
+        pkd = jnp.asarray(pk)
         batch = imu_ops.ImuBatch(
-            acc=jnp.asarray(acc), gyro=jnp.asarray(gyro), dt=jnp.asarray(dt),
-            valid=jnp.arange(cap) < n,
+            acc=pkd[:, 0:3], gyro=pkd[:, 3:6], dt=pkd[:, 6],
+            valid=pkd[:, 7] > 0.5,
         )
         kf_idx = max(self.n_kf - 1, 0)
         bg = self.ikf.bg[kf_idx]
@@ -1494,18 +1493,21 @@ class SlamSystem:
         buf = [s for s in self._imu_buf if start < s[0] <= t]
         cap = self.cfg.capacity.max_imu_per_frame
         buf = buf[:cap]
-        acc = np.zeros((cap, 3), np.float32)
-        gyro = np.zeros((cap, 3), np.float32)
-        dt = np.zeros((cap,), np.float32)
+        # ONE packed host->device transfer per frame ([cap,8]: acc, gyro,
+        # dt, valid) instead of four: through the tunnel each small upload
+        # costs ~1 ms, and this runs on the per-frame hot path
+        pk = np.zeros((cap, 8), np.float32)
         prev = start
         for i, (ts, a, g) in enumerate(buf):
-            acc[i] = a
-            gyro[i] = g
-            dt[i] = max(ts - prev, 0.0)
+            pk[i, 0:3] = a
+            pk[i, 3:6] = g
+            pk[i, 6] = max(ts - prev, 0.0)
+            pk[i, 7] = 1.0
             prev = ts
+        pkd = jnp.asarray(pk)
         return imu_ops.ImuBatch(
-            acc=jnp.asarray(acc), gyro=jnp.asarray(gyro), dt=jnp.asarray(dt),
-            valid=jnp.arange(cap) < len(buf),
+            acc=pkd[:, 0:3], gyro=pkd[:, 3:6], dt=pkd[:, 6],
+            valid=pkd[:, 7] > 0.5,
         )
 
     def _imu_sigmas(self):
