@@ -22,8 +22,12 @@ if TYPE_CHECKING:  # pragma: no cover
 
 #: v2: MapState gained kf_uvr (fisheye right-pixel rig observations) and
 #: the BoW database became sparse (lc_bow_words/lc_bow_wts); fields missing
-#: from older snapshots are defaulted on load instead of raising KeyError
-FORMAT_VERSION = 2
+#: from older snapshots are defaulted on load instead of raising KeyError.
+#: v3: shelved Atlas maps additionally carry their merge-plausibility
+#: prior, inertial state (ikf/gravity), and the host keyframe-time /
+#: tracking-quality mirrors; all optional on load (older snapshots get
+#: None/defaults — the merge gate then skips, as for any unknown prior)
+FORMAT_VERSION = 3
 
 #: per-field defaults for fields added after a snapshot was written:
 #: name -> callable(reference_field_of_same_name_from_live_system) -> array
@@ -101,6 +105,32 @@ def save_map(slam: "SlamSystem", path: str) -> None:
         if lc_i is not None and lc_i.db_words is not None:
             out[f"atlas{i}_bow_words"] = np.asarray(lc_i.db_words)
             out[f"atlas{i}_bow_wts"] = np.asarray(lc_i.db_wts)
+        mp = m.get("merge_prior")
+        if mp is not None:
+            meta[f"atlas{i}_merge_prior"] = [
+                np.asarray(mp[0]).reshape(-1).tolist(),
+                np.asarray(mp[1]).reshape(-1).tolist(),
+                float(mp[2]) if len(mp) > 2 else 0.0,
+                float(mp[3]) if len(mp) > 3 else 0.0,
+            ]
+        if "ikf" in m:
+            _pack_namedtuple(f"atlas{i}_ikf_", m["ikf"], out)
+            out[f"atlas{i}_gravity"] = np.asarray(m["gravity"])
+            meta[f"atlas{i}_imu_initialized"] = bool(
+                m.get("imu_initialized", False)
+            )
+        meta[f"atlas{i}_kf_times"] = [
+            float(x) for x in m.get("kf_times", [])
+        ]
+        meta[f"atlas{i}_kf_lowq"] = [
+            bool(x) for x in m.get("kf_lowq", [])
+        ]
+    meta["kf_times_host"] = [
+        float(x) for x in getattr(slam, "_kf_times_host", [])
+    ]
+    meta["kf_lowq_host"] = [
+        bool(x) for x in getattr(slam, "_kf_lowq_host", [])
+    ]
     out["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
@@ -129,6 +159,8 @@ def load_map(slam: "SlamSystem", path: str) -> None:
     slam.inliers_at_last_kf = meta["inliers_at_last_kf"]
     slam.n_frames = meta["n_frames"]
     slam.has_velocity = meta["has_velocity"]
+    slam._kf_times_host = list(meta.get("kf_times_host", []))
+    slam._kf_lowq_host = list(meta.get("kf_lowq_host", []))
     slam.R_cw = jnp.asarray(z["R_cw"])
     slam.t_cw = jnp.asarray(z["t_cw"])
     slam.vel_R = jnp.asarray(z["vel_R"])
@@ -178,6 +210,27 @@ def load_map(slam: "SlamSystem", path: str) -> None:
             "gen": meta.get(f"atlas{i}_gen", -1),
             "loop_closer": None,
         }
+        mp = meta.get(f"atlas{i}_merge_prior")
+        if mp is not None:
+            m["merge_prior"] = (
+                np.asarray(mp[0], np.float64).reshape(3, 3),
+                np.asarray(mp[1], np.float64),
+                float(mp[2]), float(mp[3]),
+            )
+        if f"atlas{i}_ikf_bg" in z:
+            from orb_slam3_detailed_comments_kor_tpu.slam import (
+                inertial as _inertial,
+            )
+
+            m["ikf"] = _unpack_namedtuple(
+                f"atlas{i}_ikf_", _inertial.InertialKF, z
+            )
+            m["gravity"] = jnp.asarray(z[f"atlas{i}_gravity"])
+            m["imu_initialized"] = meta.get(
+                f"atlas{i}_imu_initialized", False
+            )
+        m["kf_times"] = list(meta.get(f"atlas{i}_kf_times", []))
+        m["kf_lowq"] = list(meta.get(f"atlas{i}_kf_lowq", []))
         if f"atlas{i}_bow_words" in z or f"atlas{i}_bow_db" in z:
             from orb_slam3_detailed_comments_kor_tpu.models import (
                 vocabulary as _voc,

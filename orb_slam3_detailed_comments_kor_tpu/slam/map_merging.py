@@ -539,11 +539,16 @@ def _merge_gate_allows(slam, shelf, R_d, t_d) -> bool:
     # aliases, not honest hand-offs. Plus unbounded-arc drift for the
     # post-split mapped excursion and the blackout duration.
     t_loss = prior[2] if len(prior) > 2 else 0.0
+    coast_s = prior[3] if len(prior) > 3 else 0.0
     kt = slam._host_kf_times()
     gap_s = max(float(kt[0]) - t_loss, 0.0) if len(kt) else 0.0
     budget = (
         2.0 + 10.0 * max(slam.baseline, 0.01)
         + 0.25 * arc
         + 1.0 * min(gap_s, 10.0)
+        # blind-coast drift allowance: the recorded loss pose is an IMU
+        # dead-reckoned estimate over coast_s seconds of failed tracking
+        # (~0.5 m/s of credible IMU-only drift at handheld dynamics)
+        + 0.5 * min(coast_s, 10.0)
     )
     return disp <= budget

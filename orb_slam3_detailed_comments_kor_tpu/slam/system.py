@@ -794,6 +794,10 @@ class SlamSystem:
             "merge_prior": (
                 np.asarray(self.R_cw), np.asarray(self.t_cw),
                 float(getattr(self, "_last_track_time", 0.0) or 0.0),
+                # seconds spent coasting blind (RECENTLY_LOST) before this
+                # shelving: the recorded pose carries dead-reckoned drift
+                # over that window, so the merge gate widens its budget
+                float(self.n_lost_frames / max(self.cfg.camera.fps, 1.0)),
             ),
         }
         if self.cfg.is_inertial:

@@ -106,5 +106,5 @@ class TestMergeGate:
         slam._create_map_in_atlas()
         prior = slam.atlas_maps[-1].get("merge_prior")
         assert prior is not None
-        R_loss, t_loss, t_at = prior
+        R_loss, t_loss, t_at, coast_s = prior
         assert R_loss.shape == (3, 3) and t_loss.shape == (3,)
