@@ -522,11 +522,21 @@ def _merge_gate_allows(slam, shelf, R_d, t_d) -> bool:
     prior = shelf.get("merge_prior")
     if prior is None or slam.cfg.sensor == SensorType.MONOCULAR:
         return True
-    R_loss, t_loss, _t = prior
+    R_loss, t_loss = prior[0], prior[1]
     c = np.asarray(slam.camera_center())
     d_hyp = np.asarray(R_d) @ c + np.asarray(t_d)
     d_exp = R_loss.T @ (c - t_loss)
     disp = float(np.linalg.norm(d_hyp - d_exp))
+    # rotation deviation: a wrong transform can match the CURRENT camera
+    # center yet rotate the rest of the map away (observed: an in-budget
+    # aliased corridor merge warped the trajectory by tens of metres);
+    # odometry yaw drift over a split is degrees, not tens of degrees
+    R_err = np.asarray(R_d) @ R_loss  # hyp ∘ expected⁻¹ (R_exp = R_loss.T)
+    ang = float(np.degrees(np.arccos(
+        np.clip((np.trace(R_err) - 1.0) / 2.0, -1.0, 1.0)
+    )))
+    if ang > 25.0:
+        return False
     # arc traveled in the NEW map since the split (keyframe centers)
     n = slam.n_kf
     Rk = np.asarray(slam.ms.kf_R_cw[:n])

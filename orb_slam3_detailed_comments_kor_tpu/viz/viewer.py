@@ -142,12 +142,30 @@ def render_map(slam, path: str, title: str = "map") -> None:
 _HTML_TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>SLAM map</title>
 <style>body{margin:0;background:#111;color:#ccc;font-family:monospace}
-#hud{position:fixed;top:8px;left:8px}</style></head>
+#hud{position:fixed;top:8px;left:8px}
+#menu{position:fixed;bottom:8px;left:8px;background:#1b1b1bcc;padding:6px;
+border-radius:4px}
+#menu button{background:#333;color:#ccc;border:1px solid #555;margin:0 2px;
+font-family:monospace;cursor:pointer}
+#menu button.on{background:#275;}
+#menu input[type=range]{vertical-align:middle;width:220px}</style></head>
 <body><canvas id="c"></canvas><div id="hud"></div>
+<div id="menu">
+<button id="bFollow" title="center the view on the playback camera">Follow
+ Camera</button>
+<button id="bPlay">&#9654; Play</button>
+<button id="bStep" title="advance one frame">Step</button>
+<input type="range" id="scrub" min="0" value="0">
+<span id="frameno"></span>
+</div>
 <script>
+// menu toggles driving the render loop: Follow Camera / step-by-step
+// playback — the offline analog of the reference viewer's menu
+// (Viewer.cc:145-241 menuFollowCamera / menuStepByStep / menuStep)
 const DATA = __DATA__;
 const cv = document.getElementById('c'); const ctx = cv.getContext('2d');
 let yaw=0.6, pitch=0.4, dist=6, cx=0, cy=0, cz=0, drag=null;
+let follow=false, playing=false, frame=DATA.traj.length?DATA.traj.length-1:0;
 function center(){ if(!DATA.lm.length) return;
   let s=[0,0,0]; for(const p of DATA.lm){s[0]+=p[0];s[1]+=p[1];s[2]+=p[2];}
   cx=s[0]/DATA.lm.length; cy=s[1]/DATA.lm.length; cz=s[2]/DATA.lm.length; }
@@ -161,22 +179,50 @@ function proj(p){
   return [cv.width/2+f*x1/d, cv.height/2+f*y2/d, d]; }
 function draw(){
   cv.width=innerWidth; cv.height=innerHeight;
+  if(follow && DATA.traj.length){const p=DATA.traj[frame];
+    cx=p[0]; cy=p[1]; cz=p[2];}
   ctx.fillStyle='#111'; ctx.fillRect(0,0,cv.width,cv.height);
   ctx.fillStyle='#999';
   for(const p of DATA.lm){const q=proj(p);
     ctx.fillRect(q[0],q[1],Math.max(1,2/q[2]*8),Math.max(1,2/q[2]*8));}
   ctx.strokeStyle='#3a6'; ctx.lineWidth=1.5; ctx.beginPath();
-  DATA.traj.forEach((p,i)=>{const q=proj(p);
-    i?ctx.lineTo(q[0],q[1]):ctx.moveTo(q[0],q[1]);});
+  for(let i=0;i<=frame && i<DATA.traj.length;i++){const q=proj(DATA.traj[i]);
+    i?ctx.lineTo(q[0],q[1]):ctx.moveTo(q[0],q[1]);}
   ctx.stroke();
   ctx.strokeStyle='#557'; ctx.lineWidth=0.6;
   for(const e of DATA.cov){const a=proj(DATA.kf[e[0]]),b=proj(DATA.kf[e[1]]);
     ctx.beginPath();ctx.moveTo(a[0],a[1]);ctx.lineTo(b[0],b[1]);ctx.stroke();}
   ctx.fillStyle='#48f';
   for(const p of DATA.kf){const q=proj(p);ctx.fillRect(q[0]-2,q[1]-2,4,4);}
+  if(DATA.traj.length){const q=proj(DATA.traj[frame]);
+    ctx.strokeStyle='#f84'; ctx.lineWidth=2;
+    ctx.strokeRect(q[0]-5,q[1]-5,10,10);}
+  document.getElementById('frameno').textContent =
+    DATA.traj.length ? ` ${frame+1}/${DATA.traj.length}` : ' (no traj)';
   document.getElementById('hud').textContent =
     `${DATA.lm.length} landmarks · ${DATA.kf.length} keyframes · `+
     `${DATA.traj.length} poses — drag to orbit, wheel to zoom`; }
+const scrub=document.getElementById('scrub');
+scrub.max=Math.max(DATA.traj.length-1,0); scrub.value=frame;
+scrub.oninput=()=>{frame=+scrub.value; draw();};
+function setFrame(f){frame=Math.min(Math.max(f,0),
+  Math.max(DATA.traj.length-1,0)); scrub.value=frame; draw();}
+document.getElementById('bFollow').onclick=function(){
+  follow=!follow; this.classList.toggle('on',follow); draw();};
+document.getElementById('bStep').onclick=()=>setFrame(
+  frame+1>=DATA.traj.length?0:frame+1);
+let timer=null;
+document.getElementById('bPlay').onclick=function(){
+  playing=!playing; this.classList.toggle('on',playing);
+  this.innerHTML=playing?'&#9646;&#9646; Pause':'&#9654; Play';
+  if(playing){timer=setInterval(()=>{
+    setFrame(frame+1>=DATA.traj.length?0:frame+1);},50);}
+  else clearInterval(timer);};
+onkeydown=e=>{if(e.key==='ArrowRight')setFrame(frame+1);
+  if(e.key==='ArrowLeft')setFrame(frame-1);
+  if(e.key===' '){e.preventDefault();
+    document.getElementById('bPlay').onclick.call(
+      document.getElementById('bPlay'));}};
 cv.onmousedown=e=>drag=[e.clientX,e.clientY];
 onmouseup=()=>drag=null;
 onmousemove=e=>{if(!drag)return; yaw+=(e.clientX-drag[0])*0.008;

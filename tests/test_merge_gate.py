@@ -65,6 +65,27 @@ class TestMergeGate:
         t_d = jnp.array([-5.0, 0.0, 0.0])  # 10 m off the prior
         assert not map_merging._merge_gate_allows(slam, shelf, R_d, t_d)
 
+    def test_rotated_alias_rejected(self):
+        """A transform that matches the current camera CENTER but carries
+        a large rotation (the in-budget aliased weld mode observed on the
+        r5 corridor: tens-of-metres warp of everything away from the
+        anchor point) must be rejected by the rotation check."""
+        from orb_slam3_detailed_comments_kor_tpu.utils import lie
+        import jax.numpy as jnp3
+
+        slam = make_slam_with_line_kfs()
+        c_loss = np.array([5.0, 0.0, 0.0])
+        shelf = shelf_with_prior(c_loss)
+        c = np.asarray(slam.camera_center())
+        R_d = np.asarray(lie.so3_exp(jnp3.array([0.0, 0.6, 0.0])))  # ~34 deg
+        # choose t_d so the hypothesis still maps the current center to
+        # exactly the expected spot: t_d = d_exp - R_d @ c
+        d_exp = c + c_loss
+        t_d = d_exp - R_d @ c
+        assert not map_merging._merge_gate_allows(
+            slam, shelf, jnp3.asarray(R_d), jnp3.asarray(t_d)
+        )
+
     def test_missing_prior_skips_gate(self):
         slam = make_slam_with_line_kfs()
         assert map_merging._merge_gate_allows(
