@@ -166,7 +166,7 @@ def transform(
 
 def transform_exact(
     vocab: Vocabulary, desc_bits: jnp.ndarray, valid: jnp.ndarray,
-    chunk: int = 16384,
+    chunk: int = 32768,
 ) -> jnp.ndarray:
     """Descriptors → word ids by EXACT nearest leaf centroid.
 
@@ -205,7 +205,7 @@ def transform_exact(
 
 def transform_exact_topk(
     vocab: Vocabulary, desc_bits: jnp.ndarray, valid: jnp.ndarray,
-    kk: int = 2, chunk: int = 16384,
+    kk: int = 2, chunk: int = 32768,
 ):
     """Exact top-``kk`` nearest leaf words + Hamming distances.
 

@@ -148,7 +148,7 @@ def frame_vi_optimize(
     gravity: jnp.ndarray,
     gyro_walk_info: float = 1e4,
     acc_walk_info: float = 1e3,
-    iters: int = 4,
+    iters: int = 3,
     cam_model: str = "pinhole",
     uv_r=None,
     rig=None,
